@@ -1,0 +1,89 @@
+"""Ray positional-encoding geometry: pixel grids and log-spaced ray samples.
+
+Pure batched jnp re-derivation of ref utils/encoding_utils.py. Everything is
+shape-static: (B, T) are leading batch axes, (H, W) compile-time constants.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .camera import Camera
+from .pose import Pose
+
+
+def grid_2d(width: int, height: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(H, W, 2) pixel-coordinate grid, x = 0..W-1, y = 0..H-1.
+
+    Matches ref utils/encoding_utils.py:15-20 with
+    output_range=[0, w, 0, h] (linspace(0, w, w+1)[:-1] == arange(w)).
+    """
+    x = jnp.arange(width, dtype=dtype)
+    y = jnp.arange(height, dtype=dtype)
+    xx, yy = jnp.meshgrid(x, y, indexing="xy")
+    return jnp.stack([xx, yy], axis=-1)
+
+
+def depth_planes(num_samples: int, min_depth: float, max_depth: float,
+                 dtype=jnp.float32) -> jnp.ndarray:
+    """(num_samples,) log-spaced depths (ref: encoding_utils.py:82-88)."""
+    ramp = jnp.linspace(0.0, 1.0, num_samples, dtype=dtype)
+    return jnp.exp(jnp.log(min_depth) + jnp.log(max_depth / min_depth) * ramp)
+
+
+def ray_points(pixel_grid: jnp.ndarray, camera: Camera,
+               T_camera_pseudoCam: Pose, num_samples: int,
+               min_depth: float, max_depth: float) -> jnp.ndarray:
+    """Sample 3D points along every pixel ray, in the pseudoCam frame.
+
+    Args:
+      pixel_grid: (H, W, 2)
+      camera: Camera with batch shape (B,)
+      T_camera_pseudoCam: Pose with batch shape (B,)
+    Returns:
+      (B, H, W, num_samples, 3)  (ref: encoding_utils.py:74-101)
+    """
+    H, W = pixel_grid.shape[:2]
+    B = camera.data.shape[0]
+    pix = jnp.broadcast_to(pixel_grid.reshape(1, H * W, 2), (B, H * W, 2))
+    rays = camera.unproject(pix)  # (B, HW, 3), z = 1
+    d = depth_planes(num_samples, min_depth, max_depth, rays.dtype)
+    pts = rays[:, :, None, :] * d[None, None, :, None]  # (B, HW, n, 3)
+    pts = pts.reshape(B, H * W * num_samples, 3)
+    pts = T_camera_pseudoCam.inverse().transform(pts)
+    return pts.reshape(B, H, W, num_samples, 3)
+
+
+def ray_points_snippet(pixel_grid: jnp.ndarray, camera: Camera,
+                       T_camera_pseudoCam: Pose, T_world_pseudoCam: Pose,
+                       T_local_world: Pose, num_samples: int,
+                       min_depth: float, max_depth: float) -> jnp.ndarray:
+    """Per-view ray samples expressed in the snippet-local frame.
+
+    Args:
+      pixel_grid: (H, W, 2)
+      camera: Camera (B, T)
+      T_camera_pseudoCam, T_world_pseudoCam: Pose (B, T)
+      T_local_world: Pose (B, 1) or (B,)
+    Returns:
+      (B, T, H, W, num_samples, 3)  (ref: encoding_utils.py:23-71)
+    """
+    B, T = T_camera_pseudoCam.shape[:2]
+    H, W = pixel_grid.shape[:2]
+    cam_flat = camera.reshape(B * T)
+    Tcp_flat = T_camera_pseudoCam.reshape(B * T)
+    pts = ray_points(pixel_grid, cam_flat, Tcp_flat, num_samples,
+                     min_depth, max_depth)  # (B*T, H, W, n, 3)
+
+    if T_local_world.data.ndim == 2:  # (B, 12) -> (B, 1, 12)
+        T_local_world = Pose(T_local_world.data[:, None, :])
+    T_local_pseudoCam = (T_local_world @ T_world_pseudoCam).reshape(B * T)
+    pts = T_local_pseudoCam.transform(pts.reshape(B * T, -1, 3))
+    return pts.reshape(B, T, H, W, num_samples, 3)
+
+
+def inverse_sigmoid(x: jnp.ndarray, eps: float = 1e-3) -> jnp.ndarray:
+    """logit with the reference's double clamp (ref: ray_positional_encoding.py:22-26)."""
+    x = jnp.clip(x, 0.0, 1.0)
+    x1 = jnp.maximum(x, eps)
+    x2 = jnp.maximum(1.0 - x, eps)
+    return jnp.log(x1 / x2)
