@@ -1,0 +1,83 @@
+"""Box decoding: class-conditioned mean-size table and prob helpers.
+
+Mirrors ref utils/parq_utils.py:31-105. The mean-size table is parsed on the
+host once at construction and baked in as a device constant — the reference
+does a D2H hop per decoder iteration for this lookup
+(utils/parq_utils.py:96-98); here it's a single on-device `take`.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ScanNet 9-category mapping (ref: utils/parq_utils.py:47-57)
+TYPE2CLASS = {
+    "chair": 0, "table": 1, "cabinet": 2, "trash bin": 3, "bookshelf": 4,
+    "display": 5, "sofa": 6, "bathtub": 7, "other": 8,
+}
+CLASS2TYPE = {v: k for k, v in TYPE2CLASS.items()}
+
+
+def load_mean_size_table(mean_size_path: Optional[str], num_semcls: int = 9,
+                         ) -> np.ndarray:
+    """Parse data/average_scan2cad.txt into a (num_rows, 3) table.
+
+    Row layout matches the reference exactly: matched classes in class-id
+    order, then [1,1,1] rows for unmatched classes ("other") and background,
+    so indexing by argmax class id (0..num_semcls) works
+    (ref: utils/parq_utils.py:62-88).
+    """
+    if mean_size_path is None:
+        return np.ones((num_semcls + 1, 3), np.float32)
+
+    typelong = {}
+    with open(mean_size_path) as f:
+        for line in f:
+            if ":" not in line:
+                continue
+            type_cat, size = line.split(": ")
+            vals = [float(s) for s in size.strip().lstrip("[").rstrip("]").split()]
+            typelong[type_cat] = vals[:3]
+
+    rows = []
+    for i in range(num_semcls):
+        object_type = CLASS2TYPE.get(i, None)
+        matched = False
+        if object_type is not None:
+            for key, value in typelong.items():
+                if object_type in key.split(","):
+                    rows.append(value)
+                    matched = True
+                    break
+        # unmatched classes (e.g. "other") fall through — the reference
+        # appends nothing for them, relying on the two [1,1,1] rows below.
+        del matched
+    rows.append([1.0, 1.0, 1.0])  # "other"
+    rows.append([1.0, 1.0, 1.0])  # background / non-object
+    return np.asarray(rows, np.float32)
+
+
+class BoxProcessor:
+    """Stateless box decode helpers with a baked-in mean-size table."""
+
+    def __init__(self, num_semcls: int, mean_size_path: Optional[str]):
+        self.num_semcls = num_semcls
+        self.mean_size_arr = jnp.asarray(
+            load_mean_size_table(mean_size_path, num_semcls))
+
+    def compute_objectness_and_cls_prob(self, cls_logits: jnp.ndarray):
+        cls_prob = jax.nn.softmax(cls_logits, axis=-1)
+        objectness = 1.0 - cls_prob[..., -1]
+        return cls_prob, objectness
+
+    def compute_predicted_size(self, size_scale: jnp.ndarray,
+                               cls_prob: jnp.ndarray) -> jnp.ndarray:
+        """size = exp(size_scale) * mean_size[argmax cls] (ref: :94-99).
+        cls_prob comes in already stop_gradient'ed (the reference computes
+        it under no_grad — transformer_parq.py:259-265)."""
+        pred_cls = jnp.argmax(cls_prob, axis=-1)
+        mean = jnp.take(self.mean_size_arr, pred_cls, axis=0)
+        return jnp.exp(size_scale) * mean

@@ -1,0 +1,236 @@
+"""PARQ recurrent decoder — the 8-iteration weight-shared DETR-style loop
+expressed as `nn.scan` over a single layer (the TPU-natural form of the
+reference's Python loop, ref: model/transformer_parq.py:283-337).
+
+Per iteration: sinusoidal posemb of the reference points → query pos-emb MLP;
+project points into every view + bilinear-sample pixel-aligned features
+(the hot path, fused in Pallas when enabled); post-norm transformer decoder
+layer (self-attn over 256 queries, cross-attn vs T·H·W memory tokens, FFN);
+shared MLP heads regress class/center/size/ortho6d; new reference points =
+stop_gradient(normalized predicted centers) (ref: :330-332).
+
+All iteration outputs are stacked by scan (leading axis L), mirroring
+`return_intermediate` (ref: :334-336).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..geometry import Camera, Pose, inverse_sigmoid
+from ..ops.pixel_align import pixel_aligned_features
+from ..ops.posemb import pos2posemb3d
+from .box_processor import BoxProcessor
+from .mlp import MLP2, HeadMLP
+
+
+def normalize_points(p: jnp.ndarray, scale: Sequence[float]) -> jnp.ndarray:
+    """Metric coords → [0,1]³ by the scene scale box (ref: transformer_parq.py:185-196)."""
+    s = scale
+    return jnp.stack([
+        (p[..., 0] - s[0]) / (s[1] - s[0]),
+        (p[..., 1] - s[2]) / (s[3] - s[2]),
+        (p[..., 2] - s[4]) / (s[5] - s[4]),
+    ], axis=-1)
+
+
+def denormalize_points(p: jnp.ndarray, scale: Sequence[float]) -> jnp.ndarray:
+    s = scale
+    return jnp.stack([
+        p[..., 0] * (s[1] - s[0]) + s[0],
+        p[..., 1] * (s[3] - s[2]) + s[2],
+        p[..., 2] * (s[5] - s[4]) + s[4],
+    ], axis=-1)
+
+
+class DecoderLayer(nn.Module):
+    """Post-norm transformer decoder layer (ref: transformer_parq.py:340-386)."""
+    dim: int
+    heads: int
+    ffn_dim: int
+    dropout_rate: float
+    deterministic: bool
+
+    @nn.compact
+    def __call__(self, tgt: jnp.ndarray, memory: jnp.ndarray,
+                 query_pos: jnp.ndarray) -> jnp.ndarray:
+        det = self.deterministic
+
+        def drop(x, name):
+            return nn.Dropout(self.dropout_rate, deterministic=det,
+                              name=name)(x)
+
+        q = k = tgt + query_pos
+        sa = nn.MultiHeadDotProductAttention(
+            num_heads=self.heads, qkv_features=self.dim,
+            out_features=self.dim, dropout_rate=self.dropout_rate,
+            broadcast_dropout=False, deterministic=det,
+            name="self_attn")(q, k, tgt)
+        tgt = nn.LayerNorm(name="norm1")(tgt + drop(sa, "dropout1"))
+
+        ca = nn.MultiHeadDotProductAttention(
+            num_heads=self.heads, qkv_features=self.dim,
+            out_features=self.dim, dropout_rate=self.dropout_rate,
+            broadcast_dropout=False, deterministic=det,
+            name="cross_attn")(tgt + query_pos, memory, memory)
+        tgt = nn.LayerNorm(name="norm2")(tgt + drop(ca, "dropout2"))
+
+        ff = nn.Dense(self.ffn_dim, name="linear1")(tgt)
+        ff = drop(nn.relu(ff), "dropout")
+        ff = nn.Dense(self.dim, name="linear2")(ff)
+        tgt = nn.LayerNorm(name="norm3")(tgt + drop(ff, "dropout3"))
+        return tgt
+
+
+class DecoderIteration(nn.Module):
+    """One recurrence step; scanned with params broadcast (weight sharing)."""
+    dim: int
+    heads: int
+    ffn_dim: int
+    dropout_rate: float
+    num_semcls: int
+    scale: Tuple[float, ...]
+    feat_size: Tuple[int, int]  # (W, H) of the feature maps
+    mean_size: Tuple[Tuple[float, ...], ...]
+    deterministic: bool
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, ref_points, inputs):
+        memory_hw, camera, T_camera_local = inputs
+        B, T, H, W, C = memory_hw.shape
+
+        # query positional embedding (ref: :317-318)
+        pos_feat = MLP2(self.dim, self.dim, name="position_encoder")(
+            pos2posemb3d(ref_points))
+
+        # pixel-aligned sampling (ref: :321, project() :129-161)
+        query_metric = denormalize_points(ref_points, self.scale)
+        if self.use_pallas:
+            from ..kernels.pixel_align_pallas import pixel_aligned_features_pallas
+            pix, center_im, center_valid = pixel_aligned_features_pallas(
+                memory_hw, query_metric, Pose(T_camera_local), Camera(camera),
+                self.feat_size)
+        else:
+            pix, center_im, center_valid = pixel_aligned_features(
+                memory_hw, query_metric, Pose(T_camera_local), Camera(camera),
+                self.feat_size)
+
+        memory_tokens = memory_hw.reshape(B, T * H * W, C)
+        out = DecoderLayer(self.dim, self.heads, self.ffn_dim,
+                           self.dropout_rate, self.deterministic,
+                           name="layer")(pix, memory_tokens, pos_feat)
+
+        # MLP heads (shared across iterations via params broadcast;
+        # ref: parq_decoder.py:84-132, transformer_parq.py:211-281)
+        cls_logits = HeadMLP((), self.num_semcls + 1,
+                             name="sem_cls_head")(out)
+        center_offset = HeadMLP((self.dim, self.dim), 3,
+                                name="center_head")(out)
+        size_scale = HeadMLP((), 3, name="size_head")(out)
+        ortho6d = HeadMLP((self.dim, self.dim), 6,
+                          name="rotation_head")(out)
+
+        coord_pos = query_metric  # matcher uses input ref points (ref: :278)
+        center_norm = jax.nn.sigmoid(center_offset + inverse_sigmoid(ref_points))
+        center_unnorm = denormalize_points(center_norm, self.scale)
+
+        # cls probs under stop_gradient (ref computes them no_grad, :259-265)
+        sem_cls_prob = jax.lax.stop_gradient(
+            jax.nn.softmax(cls_logits, axis=-1))
+        mean_size = jnp.asarray(self.mean_size, dtype=size_scale.dtype)
+        pred_cls = jnp.argmax(sem_cls_prob, axis=-1)
+        size_unnorm = jnp.exp(size_scale) * jnp.take(mean_size, pred_cls,
+                                                     axis=0)
+
+        new_ref = jax.lax.stop_gradient(
+            normalize_points(center_unnorm, self.scale))  # ref: :331-332
+
+        outputs = {
+            "pred_logits": cls_logits,
+            "center_unnormalized": center_unnorm,
+            "size_unnormalized": size_unnorm,
+            "ortho6d": ortho6d,
+            "sem_cls_prob": sem_cls_prob,
+            "coord_pos": coord_pos,
+            "center_im": center_im,
+            "center_valid": center_valid,
+        }
+        return new_ref, outputs
+
+
+class PARQDecoder(nn.Module):
+    """Learned 3D reference points + scanned recurrent decoder.
+
+    Returns a dict of per-iteration stacks with leading axis `num_layers`
+    (the functional mirror of the reference's list of 8 dicts).
+    """
+    dim: int = 1024
+    heads: int = 4
+    ffn_dim: int = 768
+    num_layers: int = 8
+    dropout_rate: float = 0.1
+    num_queries: int = 256
+    num_semcls: int = 9
+    scale: Tuple[float, ...] = (-3.0, 3.0, -2.0, 0.5, 0.25, 5.25)
+    feat_size: Tuple[int, int] = (80, 60)
+    mean_size: Tuple[Tuple[float, ...], ...] = ()
+    share_weights: bool = True
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, memory_hw: jnp.ndarray, camera: Camera,
+                 T_camera_pseudoCam: Pose, T_world_pseudoCam: Pose,
+                 T_world_local: Pose, *, deterministic: bool = True):
+        """memory_hw: (B, T, H, W, C) tokenized features (image + rayPE).
+        camera: Camera (B, T) at feature scale. Poses as in the reference
+        (ref: parq_decoder.py:134-163)."""
+        B = memory_hw.shape[0]
+
+        # T_camera_local = T_camera_pseudoCam @ (T_world_pseudoCam⁻¹ @ T_world_local)
+        # (ref: transformer_parq.py:298-300)
+        Tl = T_world_local
+        if Tl.data.ndim == 2:
+            Tl = Pose(Tl.data[:, None, :])
+        T_camera_local = T_camera_pseudoCam @ (T_world_pseudoCam.inverse() @ Tl)
+
+        refpoint = self.param(
+            "refpoint", nn.initializers.normal(1.0),
+            (self.num_queries, 3))
+        ref_points = jax.nn.sigmoid(refpoint)  # (Q, 3), ref: :309
+        ref_points = jnp.broadcast_to(ref_points[None], (B,) + ref_points.shape)
+
+        mean_size = self.mean_size or tuple(
+            tuple(r) for r in [[1.0] * 3] * (self.num_semcls + 1))
+
+        iter_kwargs = dict(
+            dim=self.dim, heads=self.heads, ffn_dim=self.ffn_dim,
+            dropout_rate=self.dropout_rate, num_semcls=self.num_semcls,
+            scale=tuple(self.scale), feat_size=tuple(self.feat_size),
+            mean_size=mean_size, deterministic=deterministic,
+            use_pallas=self.use_pallas)
+
+        inputs = (memory_hw, camera.data, T_camera_local.data)
+        if self.share_weights:
+            ScanIter = nn.scan(
+                DecoderIteration,
+                variable_broadcast="params",
+                split_rngs={"params": False, "dropout": True},
+                in_axes=nn.broadcast,
+                out_axes=0,
+                length=self.num_layers,
+            )
+            _, outputs = ScanIter(name="iteration", **iter_kwargs)(
+                ref_points, inputs)
+        else:
+            outs = []
+            for i in range(self.num_layers):
+                ref_points, o = DecoderIteration(
+                    name=f"iteration_{i}", **iter_kwargs)(ref_points, inputs)
+                outs.append(o)
+            outputs = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs, 0), *outs)
+        return outputs

@@ -1,0 +1,67 @@
+"""MLP building blocks for the detection heads.
+
+Reproduces the reference's GenericMLP-with-conv1x1 semantics
+(ref: model/generic_mlp.py:64-132): a 1x1 Conv1d over (B, C, N) is a Linear
+over tokens, and the "ln" norm is GroupNorm(num_groups=1) — which normalizes
+over channels AND tokens jointly per sample (NOT per-token LayerNorm). That
+quirk matters for checkpoint parity, so `GroupNorm1` mirrors it exactly.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class GroupNorm1(nn.Module):
+    """torch GroupNorm(1, C) over (B, N, C) inputs: normalize over (N, C)
+    jointly, per-channel affine. eps matches torch default."""
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        red = tuple(range(1, x.ndim))  # all but batch
+        mean = jnp.mean(x, axis=red, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=red, keepdims=True)
+        y = (x - mean) / jnp.sqrt(var + self.eps)
+        return y * scale + bias
+
+
+class HeadMLP(nn.Module):
+    """Detection-head MLP over (B, N, C) tokens.
+
+    hidden layers: Linear(no bias) → GroupNorm1 → ReLU → [Dropout];
+    output: Linear(bias). Mirrors ref model/parq_decoder.py:84-132 configs:
+    big heads (center/rotation) use hidden=[D, D], dropout 0; small heads
+    (semcls/size) have no hidden layers at all (dropout list is empty).
+    """
+    hidden_dims: Sequence[int]
+    output_dim: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        for h in self.hidden_dims:
+            x = nn.Dense(h, use_bias=False)(x)
+            x = GroupNorm1(h)(x)
+            x = nn.relu(x)
+            if self.dropout > 0.0:
+                x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return nn.Dense(self.output_dim, use_bias=True)(x)
+
+
+class MLP2(nn.Module):
+    """Linear → ReLU → Linear (used by RayPE encoder and the query position
+    encoder, ref: ray_positional_encoding.py:55-59, transformer_parq.py:176-180)."""
+    hidden_dim: int
+    output_dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.hidden_dim)(x)
+        x = nn.relu(x)
+        return nn.Dense(self.output_dim)(x)

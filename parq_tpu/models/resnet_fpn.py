@@ -1,0 +1,206 @@
+"""ResNet50 + FPN backbone, channels-last (NHWC), Flax.
+
+Functional re-derivation of torchvision's `resnet_fpn_backbone` as used by the
+reference (ref: model/resnet_fpn.py:16-91): ResNet-50 with **frozen**
+BatchNorm (torchvision wraps backbone BN in FrozenBatchNorm2d), an FPN over
+C2..C5 with a 256-channel pyramid, then the reference's concat trick —
+bilinear-resize pyramid levels 0..3 to level-0 resolution and concatenate to
+C=1024 (ref: :73-80). ImageNet normalization is applied inside
+(ref: :43-49, :65).
+
+Frozen BN statistics/affine live in the separate ``frozen`` variable
+collection so the optimizer never sees them; at conversion time torchvision's
+(weight, bias, running_mean, running_var) map 1:1.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+RESNET_STAGES = {
+    "resnet18": (2, 2, 2, 2),
+    "resnet34": (3, 4, 6, 3),
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+    "resnet152": (3, 8, 36, 3),
+}
+BOTTLENECK = {"resnet50", "resnet101", "resnet152"}
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with frozen statistics and affine (torchvision
+    FrozenBatchNorm2d, eps=1e-5). Variables in collection 'frozen'."""
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        shape = (self.features,)
+        scale = self.variable("frozen", "scale",
+                              lambda: jnp.ones(shape, jnp.float32)).value
+        bias = self.variable("frozen", "bias",
+                             lambda: jnp.zeros(shape, jnp.float32)).value
+        mean = self.variable("frozen", "mean",
+                             lambda: jnp.zeros(shape, jnp.float32)).value
+        var = self.variable("frozen", "var",
+                            lambda: jnp.ones(shape, jnp.float32)).value
+        inv = scale * jax.lax.rsqrt(var + self.eps)
+        return x * inv + (bias - mean * inv)
+
+
+def _conv(features, kernel, stride=1, name=None):
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding=[(kernel // 2, kernel // 2)] * 2, use_bias=False,
+                   name=name)
+
+
+class Bottleneck(nn.Module):
+    features: int  # internal width; output is 4x
+    stride: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = _conv(self.features, 1, name="conv1")(x)
+        out = FrozenBatchNorm(self.features, name="bn1")(out)
+        out = nn.relu(out)
+        out = _conv(self.features, 3, self.stride, name="conv2")(out)
+        out = FrozenBatchNorm(self.features, name="bn2")(out)
+        out = nn.relu(out)
+        out = _conv(self.features * 4, 1, name="conv3")(out)
+        out = FrozenBatchNorm(self.features * 4, name="bn3")(out)
+        if self.downsample:
+            identity = _conv(self.features * 4, 1, self.stride,
+                             name="downsample_conv")(x)
+            identity = FrozenBatchNorm(self.features * 4,
+                                       name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class BasicBlock(nn.Module):
+    features: int
+    stride: int = 1
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        identity = x
+        out = _conv(self.features, 3, self.stride, name="conv1")(x)
+        out = FrozenBatchNorm(self.features, name="bn1")(out)
+        out = nn.relu(out)
+        out = _conv(self.features, 3, name="conv2")(out)
+        out = FrozenBatchNorm(self.features, name="bn2")(out)
+        if self.downsample:
+            identity = _conv(self.features, 1, self.stride,
+                             name="downsample_conv")(x)
+            identity = FrozenBatchNorm(self.features,
+                                       name="downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    name_: str = "resnet50"
+
+    @nn.compact
+    def __call__(self, x) -> Sequence[jnp.ndarray]:
+        """x: (N, H, W, 3) → [C2, C3, C4, C5] (strides 4, 8, 16, 32)."""
+        stages = RESNET_STAGES[self.name_]
+        block = Bottleneck if self.name_ in BOTTLENECK else BasicBlock
+        expansion = 4 if self.name_ in BOTTLENECK else 1
+
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, name="conv1")(x)
+        x = FrozenBatchNorm(64, name="bn1")(x)
+        x = nn.relu(x)
+        # torch maxpool(3, stride 2, pad 1)
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=-jnp.inf)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+
+        feats = []
+        width = 64
+        for si, blocks in enumerate(stages):
+            stride = 1 if si == 0 else 2
+            for bi in range(blocks):
+                down = bi == 0 and (stride != 1 or si == 0 and expansion != 1)
+                x = block(width, stride if bi == 0 else 1, down,
+                          name=f"layer{si + 1}_{bi}")(x)
+            feats.append(x)
+            width *= 2
+        return feats
+
+
+class FPN(nn.Module):
+    """torchvision FeaturePyramidNetwork: 1x1 laterals → top-down nearest
+    upsample + add → 3x3 smoothing convs; 256 channels."""
+    out_channels: int = 256
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]) -> Sequence[jnp.ndarray]:
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1), use_bias=True,
+                    name=f"inner_{i}")(f)
+            for i, f in enumerate(feats)
+        ]
+        # top-down pathway (nearest upsample, torchvision F.interpolate default)
+        outs = [None] * len(laterals)
+        prev = laterals[-1]
+        outs[-1] = prev
+        for i in range(len(laterals) - 2, -1, -1):
+            h, w = laterals[i].shape[1:3]
+            up = jax.image.resize(prev, prev.shape[:1] + (h, w) + prev.shape[3:],
+                                  method="nearest")
+            prev = laterals[i] + up
+            outs[i] = prev
+        return [
+            nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=True, name=f"layer_{i}")(o)
+            for i, o in enumerate(outs)
+        ]
+
+
+class ResNetFPN(nn.Module):
+    """Full backbone: normalize → ResNet → FPN → concat-to-1024 at level 0.
+
+    Input: (B, T, H, W, 3) in [0, 1]. Output: (B, T, H/4, W/4, 4*256).
+    """
+    resnet_name: str = "resnet50"
+    layer: int = 0   # target pyramid level for the concat (stride 4)
+    freeze: bool = False
+    fpn_channels: int = 256
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        B, T, H, W, _ = images.shape
+        x = images.reshape(B * T, H, W, 3)
+        mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
+        std = jnp.asarray(IMAGENET_STD, x.dtype)
+        x = (x - mean) / std
+
+        feats = ResNet(self.resnet_name, name="body")(x)
+        pyr = FPN(self.fpn_channels, name="fpn")(feats)
+
+        # resize all levels to the target level and concat (ref: :73-80);
+        # F.interpolate(mode='bilinear') default align_corners=False ==
+        # jax.image.resize 'linear' (half-pixel centers)
+        th, tw = pyr[self.layer].shape[1:3]
+        resized = [
+            jax.image.resize(p, (p.shape[0], th, tw, p.shape[3]),
+                             method="linear") if p.shape[1:3] != (th, tw)
+            else p
+            for p in pyr[:4]
+        ]
+        v = jnp.concatenate(resized, axis=-1)  # (B*T, th, tw, 1024)
+        if self.freeze:
+            v = jax.lax.stop_gradient(v)
+        return v.reshape(B, T, th, tw, v.shape[-1])
+
+    def camera_scale_factor(self) -> float:
+        return 1.0 / (2 ** (self.layer + 2))
