@@ -161,13 +161,17 @@ def match_single(
     cost = cost_bbox * c_bbox + cost_class * c_class       # (Q, K)
 
     # pad rows (invalid targets) get a flat cost — assignment of real rows
-    # is unaffected (any completion costs the same).
-    cost_t = jnp.where(tgt_valid[:, None], cost.T, 1e4)    # (K, Q)
-    col4row = solve_lap(cost_t)                            # (K,)
+    # is unaffected (any completion costs the same). LAP needs rows <= cols;
+    # valid targets always precede padding, so truncating to Q rows only
+    # drops pad rows (or surplus targets no assignment could cover anyway).
+    Kr = min(K, Q)
+    cost_t = jnp.where(tgt_valid[:Kr, None], cost.T[:Kr], 1e4)  # (Kr, Q)
+    col4row = solve_lap(cost_t)                            # (Kr,)
 
     # scatter: query → target from the LAP
     hung_assign = jnp.full((Q,), -1, jnp.int32)
-    scatter_tgt = jnp.where(tgt_valid, jnp.arange(K, dtype=jnp.int32), -1)
+    scatter_tgt = jnp.where(tgt_valid[:Kr],
+                            jnp.arange(Kr, dtype=jnp.int32), -1)
     hung_assign = hung_assign.at[col4row].set(scatter_tgt)
     # (pad rows scatter -1 onto their column, possibly clobbering nothing
     # real since each column is assigned at most once)

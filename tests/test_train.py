@@ -1,0 +1,134 @@
+"""Training infrastructure tests: schedule parity vs reference semantics,
+overfit-one-batch, checkpoint roundtrip, and the 8-device DP mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from parq_tpu.data.synthetic import device_batch, make_batch
+from parq_tpu.models import PARQModel
+from parq_tpu.parallel import make_mesh, shard_batch, replicated
+from parq_tpu.train import (LossConfig, create_train_state,
+                            cosine_warmup_restarts, make_jitted_train_step,
+                            make_optimizer)
+
+
+def tiny_model(**kw):
+    d = dict(resnet_name="resnet18", image_size=(64, 48), num_samples=8,
+             fpn_channels=8, tokenizer_out_channels=32,
+             dec_dim=32, dec_heads=4, dec_ffn_dim=16, dec_layers=2,
+             num_queries=8, num_semcls=9, dropout_rate=0.0,
+             scale=(-3.0, 3.0, -2.0, 0.5, 0.25, 5.25))
+    d.update(kw)
+    return PARQModel(**d)
+
+
+def test_cosine_schedule_reference_semantics():
+    """lr(epoch) matches the katsura-jp scheduler stepped per epoch."""
+    fn = cosine_warmup_restarts(first_cycle_steps=10, max_lr=1.0,
+                                min_lr=0.1, warmup_steps=2)
+    lrs = [float(fn(e)) for e in range(22)]
+    # warmup: epoch 0 → min, epoch 2 → max
+    np.testing.assert_allclose(lrs[0], 0.1, atol=1e-6)
+    np.testing.assert_allclose(lrs[2], 1.0, atol=1e-6)
+    # cosine decay to min at cycle end, restart at epoch 10
+    assert lrs[9] < lrs[3]
+    np.testing.assert_allclose(lrs[10], 0.1, atol=1e-6)
+    np.testing.assert_allclose(lrs[12], 1.0, atol=1e-6)
+    # mid-cycle value = min + (max-min)*(1+cos(pi*(e-w)/(c-w)))/2
+    import math
+    e = 6
+    expect = 0.1 + 0.9 * (1 + math.cos(math.pi * (e - 2) / 8)) / 2
+    np.testing.assert_allclose(lrs[e], expect, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def overfit_setup():
+    model = tiny_model()
+    batch = device_batch(make_batch([0, 1], image_size=(64, 48)))
+    tx = make_optimizer(lambda step: 1e-3, grad_clip=1.0)
+    state = create_train_state(model, batch, tx, jax.random.PRNGKey(0))
+    return model, batch, state
+
+
+def test_overfit_one_batch(overfit_setup):
+    _, batch, state = overfit_setup
+    step = make_jitted_train_step(LossConfig(), donate=False)
+    key = jax.random.PRNGKey(42)
+    first = None
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, sub)
+        if i == 0:
+            first = float(metrics["total_loss"])
+    last = float(metrics["total_loss"])
+    assert np.isfinite(last)
+    assert last < first * 0.7, f"no learning: {first} -> {last}"
+    assert float(metrics["valid_bs"]) > 0
+
+
+def test_checkpoint_roundtrip(tmp_path, overfit_setup):
+    from parq_tpu.train import make_manager, restore_state, save_state
+    model, batch, state = overfit_setup
+
+    mgr = make_manager(str(tmp_path / "ckpt"), save_top_k=2,
+                       async_save=False)
+    save_state(mgr, 0, state, metrics={"0.5_f1": 0.5})
+    mgr.wait_until_finished()
+
+    # perturb then restore
+    zeroed = state.replace(
+        params=jax.tree_util.tree_map(jnp.zeros_like, state.params))
+    restored, _ = restore_state(mgr, zeroed)
+    orig = jax.tree_util.tree_leaves(state.params)
+    back = jax.tree_util.tree_leaves(restored.params)
+    for a, b in zip(orig, back):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_data_parallel_mesh_matches_single_device(overfit_setup):
+    """Train step over an 8-device data mesh must equal single-device."""
+    model, batch, state0 = overfit_setup
+    assert len(jax.devices()) == 8, "conftest should give 8 cpu devices"
+
+    step = make_jitted_train_step(LossConfig(), donate=False)
+    key = jax.random.PRNGKey(7)
+
+    # single device
+    s1, m1 = step(state0, batch, key)
+
+    # 8-way DP: batch of 8 sharded
+    batch8 = device_batch(make_batch(list(range(8)), image_size=(64, 48)))
+    mesh = make_mesh(data=8, model=1)
+    sharded = shard_batch(batch8, mesh)
+    rep = replicated(mesh)
+    state_r = jax.device_put(state0, rep)
+    s8, m8 = step(state_r, sharded, key)
+    assert np.isfinite(float(m8["total_loss"]))
+    # params updated and replicated-consistent
+    leaves = jax.tree_util.tree_leaves(s8.params)
+    assert all(bool(jnp.isfinite(l).all()) for l in leaves)
+
+    # same sharded batch vs same batch unsharded must agree numerically
+    s8b, m8b = step(state0, batch8, key)
+    np.testing.assert_allclose(float(m8["total_loss"]),
+                               float(m8b["total_loss"]), rtol=1e-4)
+
+
+def test_tensor_parallel_sharding_rules(overfit_setup):
+    from parq_tpu.parallel import param_sharding_rules
+    model, batch, state = overfit_setup
+    mesh = make_mesh(data=4, model=2)
+    rules = param_sharding_rules(mesh, state.params)
+    # decoder FFN kernels get model-axis sharding
+    dec = rules["box3d_decoder"]["iteration"]["layer"]
+    spec = dec["linear1"]["kernel"].spec
+    assert spec == jax.sharding.PartitionSpec(None, "model")
+    # placing params with these shardings + running a step works
+    params_tp = jax.tree_util.tree_map(jax.device_put, state.params, rules)
+    state_tp = state.replace(params=params_tp)
+    step = make_jitted_train_step(LossConfig(), donate=False)
+    batch4 = device_batch(make_batch(list(range(4)), image_size=(64, 48)))
+    sharded = shard_batch(batch4, mesh)
+    s2, m2 = step(state_tp, sharded, jax.random.PRNGKey(3))
+    assert np.isfinite(float(m2["total_loss"]))
