@@ -94,6 +94,25 @@ def make_snippet(seed: int, image_size=(64, 48), num_views: int = 3,
     T_world_pseudoCam = T_world_camera.copy()
     T_world_local = T_world_pseudoCam[num_views // 2:num_views // 2 + 1].copy()
 
+    # Embed everything in a z-up world (ScanNet/scan2cad convention): the
+    # camera rig above lives in a y-up frame, so left-compose rotx(+90°)
+    # into every T_world_*. Relative transforms are unchanged; world corners
+    # become valid inputs for the ODAM iou3d convention (evals/iou3d.py).
+    F = np.array([[1.0, 0, 0], [0, 0, -1], [0, 1, 0]], np.float32)
+
+    def flip(pose_flat):
+        R = pose_flat[..., :9].reshape(*pose_flat.shape[:-1], 3, 3)
+        t = pose_flat[..., 9:]
+        return np.concatenate(
+            [(F @ R).reshape(*pose_flat.shape[:-1], 9), t @ F.T], axis=-1)
+
+    T_world_camera = flip(T_world_camera)
+    T_world_pseudoCam = flip(T_world_pseudoCam)
+    T_world_local = flip(T_world_local)
+    obbs = np.concatenate(
+        [obbs[:, :6], flip(obbs[:, 6:18]), obbs[:, 18:]], axis=-1)
+    obbs[num_boxes:] = -1.0  # keep pad rows all −1
+
     return {
         "scene_name": scene_name or f"synthetic_{seed:04d}",
         "snippet_id": seed,

@@ -1,0 +1,154 @@
+"""Eval-stack tests: IoU3D vs brute force + scipy qhull, NMS host/device
+agreement, F1 tracker end-to-end on a synthetic perfect detector."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from parq_tpu.evals import (F1Calculator, iou3d, nms_mask_device, run_nms,
+                            to_odam, convex_hull_intersection)
+from parq_tpu.geometry import Obb3D, Pose, rot_to_6d, roty
+
+
+_ROTX90 = np.array([[1.0, 0.0, 0.0], [0.0, 0.0, -1.0], [0.0, 1.0, 0.0]])
+
+
+def box_corners(center, size, yaw=0.0):
+    """(8,3) reference-ordered *world* corners of a yaw-rotated box.
+
+    Mirrors the real data convention (scan2cad): the object frame is y-up,
+    the world is z-up, so T_world_object embeds a rotx(+90°). iou3d's
+    reorder+rotx undoes exactly this (see parq_tpu/evals/iou3d.py).
+    """
+    half = np.asarray(size) / 2.0
+    signs = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0],
+                      [0, 0, 1], [1, 0, 1], [1, 1, 1], [0, 1, 1]])
+    c = -half + signs * np.asarray(size)
+    R = _ROTX90 @ np.asarray(roty(yaw))
+    return c @ R.T + np.asarray(center)
+
+
+def test_iou3d_identical_and_disjoint():
+    a = to_odam(box_corners([0, 0, 0], [1, 1, 1]))
+    iou, bev = iou3d(a, a)
+    np.testing.assert_allclose(iou, 1.0, atol=1e-6)
+    b = to_odam(box_corners([10, 0, 0], [1, 1, 1]))
+    iou, _ = iou3d(a, b)
+    assert iou == 0.0
+
+
+def test_iou3d_half_overlap():
+    # two unit boxes offset by 0.5 in x: inter 0.5, union 1.5
+    a = to_odam(box_corners([0, 0, 0], [1, 1, 1]))
+    b = to_odam(box_corners([0.5, 0, 0], [1, 1, 1]))
+    iou, bev = iou3d(a, b)
+    np.testing.assert_allclose(iou, 0.5 / 1.5, atol=1e-5)
+    np.testing.assert_allclose(bev, 0.5 / 1.5, atol=1e-5)
+
+
+def test_iou3d_rotated_vs_scipy_hull(rng):
+    """Clipped-polygon area matches qhull on random rotated pairs."""
+    from scipy.spatial import ConvexHull
+    for _ in range(20):
+        c1 = box_corners(rng.randn(3) * 0.3, rng.rand(3) + 0.5,
+                         rng.uniform(-np.pi, np.pi))
+        c2 = box_corners(rng.randn(3) * 0.3, rng.rand(3) + 0.5,
+                         rng.uniform(-np.pi, np.pi))
+        r1, r2 = to_odam(c1), to_odam(c2)
+        rect1 = [(r1[i, 0], r1[i, 2]) for i in range(3, -1, -1)]
+        rect2 = [(r2[i, 0], r2[i, 2]) for i in range(3, -1, -1)]
+        inter, area = convex_hull_intersection(rect1, rect2)
+        if inter is not None and len(inter) >= 3:
+            hull = ConvexHull(np.asarray(inter))
+            np.testing.assert_allclose(area, hull.volume, atol=1e-6)
+
+
+def test_nms_suppresses_duplicates():
+    K = 6
+    corners = np.zeros((1, K, 8, 3))
+    labels = np.zeros((1, K), int)
+    scores = np.zeros((1, K))
+    # three near-identical boxes + one far box + two background
+    for j, (c, s) in enumerate([([0, 0, 0], 0.9), ([0.05, 0, 0], 0.8),
+                                ([0, 0.05, 0], 0.7), ([5, 0, 0], 0.6)]):
+        corners[0, j] = box_corners(c, [1, 1, 1])
+        scores[0, j] = s
+    labels[0, 4:] = 9  # background
+    mask = run_nms(corners, labels, scores, num_semcls=9,
+                   overlap_threshold=0.25)
+    assert mask[0].tolist() == [True, False, False, True, False, False]
+
+
+def test_nms_device_matches_host(rng):
+    K = 12
+    corners = np.stack([box_corners(rng.randn(3) * 0.8, rng.rand(3) + 0.5)
+                        for _ in range(K)])[None]
+    scores = rng.rand(1, K)
+    labels = rng.randint(0, 10, (1, K))
+    host = run_nms(corners, labels, scores, 9, 0.25, "nms_3d_faster")
+    dev = np.asarray(nms_mask_device(jnp.asarray(corners[0]),
+                                     jnp.asarray(scores[0]),
+                                     jnp.asarray(labels[0]), 9, 0.25))
+    # device NMS uses AABB IoU like host; axis-aligned boxes → identical
+    np.testing.assert_array_equal(dev, host[0])
+
+
+def test_f1_perfect_detector():
+    """Feeding GT as predictions over 2 scenes × 2 snippets → F1 == 1."""
+    calc = F1Calculator(conf_thresh=0.5)
+    rngl = np.random.RandomState(0)
+    scenes = {"sceneA": [([0, 0, 0], 0), ([2, 0, 1], 3)],
+              "sceneB": [([1, 1, 2], 5)]}
+    for snippet in range(2):
+        for scene, boxes in scenes.items():
+            K = 4
+            corners = np.zeros((1, K, 8, 3))
+            probs = np.zeros((1, K, 10))
+            probs[..., 9] = 1.0  # background default
+            mask = np.zeros((1, K), bool)
+            gts = []
+            for j, (c, cls) in enumerate(boxes):
+                corners[0, j] = box_corners(c, [1, 1, 1])
+                probs[0, j] = 0.0
+                probs[0, j, cls] = 0.95
+                probs[0, j, 9] = 0.05
+                mask[0, j] = True
+                gts.append((cls, corners[0, j]))
+            outputs = {
+                "pred_corners_world": corners,
+                "sem_cls_prob": probs,
+                "pred_mask": mask,
+                "scene_name": [scene],
+            }
+            gt_list = [{
+                "labels": np.asarray([g[0] for g in gts]),
+                "gt_corners_world": np.asarray([g[1] for g in gts]),
+            }]
+            calc.step(outputs, gt_list)
+    metrics = calc.compute_metrics(verbose=False)
+    for th in (0.25, 0.5, 0.7):
+        assert metrics[f"{th}_f1"] == pytest.approx(1.0), metrics
+    # tracker merged across snippets: 3 tracks total, not 6
+    assert sum(len(v) for v in calc.preds.values()) == 3
+
+
+def test_parse_pred_pipeline(rng):
+    from parq_tpu.evals import parse_pred
+    B, K = 1, 8
+    out = {
+        "size_unnormalized": jnp.asarray(rng.rand(B, K, 3) + 0.5,
+                                         jnp.float32),
+        "center_unnormalized": jnp.asarray(
+            rng.randn(B, K, 3) * 0.5 + np.array([0, 0, 1]), jnp.float32),
+        "sem_cls_prob": jax.nn.softmax(
+            jnp.asarray(rng.randn(B, K, 10), jnp.float32), -1),
+        "ortho6d": jnp.asarray(rng.randn(B, K, 6), jnp.float32),
+    }
+    Twl = Pose.identity((B, 1)).data
+    res = parse_pred(out, Twl, track_scale=(-1.5, 1.5, -2, 1, 0, 2),
+                     num_semcls=9)
+    assert res["pred_corners_world"].shape == (B, K, 8, 3)
+    assert res["pred_mask"].dtype == bool
+    # with identity T_world_local, world == local corners
+    np.testing.assert_allclose(res["corners_world"], res["corners_local"],
+                               atol=1e-5)
