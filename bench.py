@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Benchmark: multi-view frames/sec/chip on the flagship eval forward.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+Protocol: release-config model (ResNet50-FPN 1024ch, 256 queries, 8
+shared-weight decoder iterations), 3×320×240 snippets, steady-state jitted
+forward. "frames" counts individual camera views (B × T per step), matching
+the reference's multi-view framing (BASELINE.md).
+
+vs_baseline: ratio against the reference's CPU throughput. The torch
+reference cannot run here (torchvision absent), so the baseline constant is
+our own fp32 CPU throughput of the identical architecture measured on this
+machine — a stand-in for "CPU-reference multi-view frames/sec" recorded in
+CPU_REFERENCE_FPS with provenance. Refresh with `python bench.py --cpu-ref`.
+"""
+import argparse
+import json
+import time
+
+# Measured 2026-08-16 on this machine (1-core CPU, fp32, batch 1, jitted
+# steady state of the identical flagship architecture): see --cpu-ref.
+CPU_REFERENCE_FPS = 0.34
+
+
+def build(batch_size: int, use_pallas: bool):
+    import jax
+    from __graft_entry__ import _batch, _flagship_model
+    import dataclasses
+
+    model = _flagship_model()
+    if use_pallas != model.use_pallas:
+        model = dataclasses.replace(model, use_pallas=use_pallas)
+    batch = _batch(model, batch_size)
+    params = model.init(jax.random.PRNGKey(0), batch)
+
+    @jax.jit
+    def fwd(batch):
+        return model.apply(params, batch)
+
+    return fwd, batch
+
+
+def measure(fwd, batch, iters: int = 10, warmup: int = 3) -> float:
+    import jax
+    for _ in range(warmup):
+        out = fwd(batch)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(batch)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    B, T = batch["rgb_img"].shape[:2]
+    return B * T * iters / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu-ref", action="store_true",
+                    help="measure the CPU baseline constant instead")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--no-pallas", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu_ref:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        fwd, batch = build(args.batch, use_pallas=False)
+        fps = measure(fwd, batch, iters=3, warmup=1)
+        print(json.dumps({"metric": "cpu_reference_fps", "value": fps}))
+        return
+
+    use_pallas = not args.no_pallas
+    try:
+        fwd, batch = build(args.batch, use_pallas=use_pallas)
+        fps = measure(fwd, batch, iters=args.iters)
+    except Exception:
+        if not use_pallas:
+            raise
+        # fall back to the pure-XLA sampler if the pallas path fails
+        fwd, batch = build(args.batch, use_pallas=False)
+        fps = measure(fwd, batch, iters=args.iters)
+
+    print(json.dumps({
+        "metric": "multi_view_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / CPU_REFERENCE_FPS, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -121,6 +121,7 @@ _C.TPU.USE_PALLAS_SAMPLER = True   # fused project→sample→mean kernel
 _C.TPU.REMAT = False               # jax.checkpoint the decoder iteration
 _C.TPU.ASYNC_CHECKPOINTING = True
 _C.TPU.IMAGE_SIZE = [320, 240]     # static (W, H) model input
+_C.TPU.FPN_CHANNELS = 256          # per-level FPN width (concat = 4x this)
 _C.TPU.DONATE_TRAIN_STATE = True
 
 

@@ -139,6 +139,28 @@ def make_batch(seeds, **kw) -> Dict[str, np.ndarray]:
     return out
 
 
+class SyntheticDataset:
+    """Dataset-shaped wrapper over make_snippet for loaders/CLIs."""
+
+    def __init__(self, num_snippets: int = 32, image_size=(64, 48),
+                 num_views: int = 3, seed: int = 0, scenes: int = 4):
+        self.num_snippets = num_snippets
+        self.image_size = tuple(image_size)
+        self.num_views = num_views
+        self.seed = seed
+        self.scenes = scenes
+
+    def __len__(self):
+        return self.num_snippets
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        # group snippets into a few scenes so track association is exercised
+        scene = idx % self.scenes
+        return make_snippet(self.seed + idx, image_size=self.image_size,
+                            num_views=self.num_views,
+                            scene_name=f"synthetic_scene_{scene:03d}")
+
+
 def device_batch(batch: Dict) -> Dict:
     """Drop host-only keys, cast for the model."""
     import jax.numpy as jnp

@@ -53,6 +53,7 @@ class PARQModel(nn.Module):
             resnet_name=m.BACKBONE2D.RESNET_NAME,
             backbone_layer=int(m.BACKBONE2D.LAYER),
             backbone_freeze=bool(m.BACKBONE2D.FREEZE),
+            fpn_channels=int(cfg.TPU.FPN_CHANNELS),
             tokenizer_out_channels=m.TOKENIZER.OUT_CHANNELS,
             ray_points_scale=tuple(m.TOKENIZER.RAY_POINTS_SCALE),
             num_samples=m.TOKENIZER.NUM_SAMPLES,

@@ -1,0 +1,231 @@
+"""Training/eval orchestration — the Trainer-equivalent of the reference's
+Lightning setup (ref: train.py:40-144, model/parq_lightning.py) rebuilt for
+TPU: jitted steps over a (data, model) mesh, val-every-fraction-of-epoch with
+F1 model selection, orbax top-k checkpoints, TensorBoard scalars/images, and
+resumable data-loader state.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CfgNode
+from ..data.scannet import SnippetLoader
+from ..evals import F1Calculator, parse_pred, targets_to_gt_list
+from ..geometry import Obb3D, Pose
+from ..losses import parse_targets
+from ..models import PARQModel
+from ..parallel import make_mesh, replicated, shard_batch
+from .checkpoint import load_pretrained, make_manager, restore_state, save_state
+from .schedule import build_lr_schedule
+from .train_step import (LossConfig, create_train_state,
+                         make_jitted_eval_step, make_jitted_train_step,
+                         make_optimizer)
+
+logger = logging.getLogger(__name__)
+
+DEVICE_KEYS = ("rgb_img", "camera", "T_camera_pseudoCam", "T_world_pseudoCam",
+               "T_world_local", "obbs_padded", "sym")
+
+
+def to_device_batch(batch: Dict, mesh=None) -> Dict:
+    out = {k: jnp.asarray(batch[k]) for k in DEVICE_KEYS if k in batch}
+    if mesh is not None:
+        out = shard_batch(out, mesh)
+    return out
+
+
+class Trainer:
+    def __init__(self, cfg: CfgNode, workdir: Optional[str] = None,
+                 use_pallas: Optional[bool] = None):
+        self.cfg = cfg
+        self.workdir = workdir or os.path.join(cfg.LOG_PATH, cfg.NAME)
+        os.makedirs(self.workdir, exist_ok=True)
+
+        self.model = PARQModel.from_config(cfg, use_pallas=use_pallas)
+        self.loss_cfg = LossConfig.from_config(cfg)
+        self.mesh = make_mesh(data=cfg.TPU.MESH_DATA, model=cfg.TPU.MESH_MODEL)
+
+        self.train_step_fn = make_jitted_train_step(
+            self.loss_cfg, donate=bool(cfg.TPU.DONATE_TRAIN_STATE))
+        self.eval_step_fn = make_jitted_eval_step(self.loss_cfg)
+
+        self.ckpt_mgr = make_manager(
+            os.path.join(self.workdir, "checkpoints"),
+            save_top_k=cfg.CALLBACK.SAVE_TOP_K,
+            save_last=cfg.CALLBACK.SAVE_LAST,
+            monitor="0.5_f1", mode=cfg.CALLBACK.MODE,
+            async_save=bool(cfg.TPU.ASYNC_CHECKPOINTING))
+
+        self._writer = None
+        self.state = None
+        self.global_step = 0
+
+    # -- logging ---------------------------------------------------------
+    @property
+    def writer(self):
+        if self._writer is None:
+            from tensorboardX import SummaryWriter
+            self._writer = SummaryWriter(os.path.join(self.workdir, "tb"))
+        return self._writer
+
+    def log_scalars(self, metrics: Dict, step: int, stage: str):
+        for k, v in metrics.items():
+            try:
+                self.writer.add_scalar(f"{stage}/{k}", float(v), step)
+            except (TypeError, ValueError):
+                pass
+
+    # -- setup -----------------------------------------------------------
+    def setup_state(self, example_batch: Dict, steps_per_epoch: int):
+        self.lr_schedule = build_lr_schedule(self.cfg, steps_per_epoch)
+        tx = make_optimizer(
+            self.lr_schedule,
+            grad_clip=self.cfg.TRAINER.GRADIENT_CLIP_VAL,
+            accumulate=self.cfg.TRAINER.ACCUMULATE_GRAD_BATCHES)
+        rng = jax.random.PRNGKey(self.cfg.SEED)
+        batch = to_device_batch(example_batch)
+        state = create_train_state(self.model, batch, tx, rng)
+        state = jax.device_put(state, replicated(self.mesh))
+
+        if self.cfg.PRETRAINED_PATH:
+            logger.info("warm start from %s", self.cfg.PRETRAINED_PATH)
+            state = load_pretrained(
+                state, self.cfg.PRETRAINED_PATH,
+                num_heads=self.cfg.MODEL.DECODER.TRANSFORMER.DEC_HEADS,
+                share_weights=self.cfg.MODEL.DECODER.TRANSFORMER.SHARE_WEIGHTS)
+        self.state = state
+        return state
+
+    def restore_if_available(self, data_loader=None):
+        """Full resume (ref: resume_from_checkpoint, train.py:121)."""
+        if self.ckpt_mgr.latest_step() is None:
+            return False
+        self.state, extras = restore_state(self.ckpt_mgr, self.state)
+        self.global_step = int(self.state.step)
+        if data_loader is not None and "data_state" in extras:
+            data_loader.load_state_dict(
+                jax.tree_util.tree_map(int, extras["data_state"]))
+        logger.info("resumed at step %d", self.global_step)
+        return True
+
+    # -- loops -----------------------------------------------------------
+    def fit(self, train_loader: SnippetLoader,
+            val_loader: Optional[SnippetLoader] = None):
+        cfg = self.cfg
+        steps_per_epoch = len(train_loader)
+        if self.state is None:
+            first = next(iter(train_loader))
+            train_loader.position = 0  # rewind peek
+            self.setup_state(first, steps_per_epoch)
+            self.restore_if_available(train_loader)
+
+        val_every = max(1, int(steps_per_epoch
+                               * float(cfg.TRAINER.VAL_CHECK_INTERVAL)))
+        limit_val = cfg.TRAINER.LIMIT_VAL_BATCHES
+        rng = jax.random.PRNGKey(cfg.SEED + 17)
+
+        while train_loader.epoch < cfg.TRAINER.MAX_EPOCHS:
+            for batch in train_loader:
+                rng, sub = jax.random.split(rng)
+                dev_batch = to_device_batch(batch, self.mesh)
+                self.state, metrics = self.train_step_fn(
+                    self.state, dev_batch, sub)
+                self.global_step += 1
+                if self.global_step % cfg.TRAINER.LOG_EVERY_N_STEPS == 0:
+                    host = {k: float(v) for k, v in metrics.items()}
+                    host["lr"] = float(self.lr_schedule(self.global_step))
+                    self.log_scalars(host, self.global_step, "train")
+                    logger.info("step %d loss %.4f", self.global_step,
+                                host["total_loss"])
+                if val_loader is not None and \
+                        self.global_step % val_every == 0:
+                    val_metrics = self.validate(val_loader,
+                                                limit_batches=limit_val)
+                    self.log_scalars(val_metrics, self.global_step,
+                                     "val/metrics")
+                    save_state(self.ckpt_mgr, self.global_step, self.state,
+                               metrics=val_metrics,
+                               data_state=train_loader.state_dict())
+            if val_loader is None:
+                save_state(self.ckpt_mgr, self.global_step, self.state,
+                           data_state=train_loader.state_dict())
+        self.ckpt_mgr.wait_until_finished()
+
+    def validate(self, loader, limit_batches=1.0, verbose: bool = False,
+                 for_vis: bool = False, vis_dir: Optional[str] = None,
+                 timing: bool = False) -> Dict[str, float]:
+        cfg = self.cfg
+        calc = F1Calculator(cfg.MODEL.DECODER.CONF_THRESH,
+                            num_semcls=cfg.MODEL.DECODER.NUM_SEMCLS)
+        n_batches = len(loader)
+        if isinstance(limit_batches, float) and limit_batches <= 1.0:
+            limit = int(n_batches * limit_batches)
+        else:
+            limit = int(limit_batches)
+        rng = jax.random.PRNGKey(0)
+        times = []
+        total_loss, count = 0.0, 0
+        for i, batch in enumerate(loader):
+            if i >= limit > 0:
+                break
+            dev_batch = to_device_batch(batch, self.mesh)
+            t0 = time.perf_counter()
+            losses, outputs = self.eval_step_fn(self.state, dev_batch, rng)
+            last = {k: v[-1] for k, v in outputs.items()}
+            host = parse_pred(
+                last, dev_batch["T_world_local"],
+                tuple(cfg.MODEL.DECODER.TRACK_SCALE),
+                cfg.MODEL.DECODER.NUM_SEMCLS,
+                enable_nms=bool(cfg.MODEL.DECODER.ENABLE_NMS),
+                for_vis=for_vis)
+            if timing:
+                times.append(time.perf_counter() - t0)
+            host["scene_name"] = batch["scene_name"]
+            if "obbs_padded" in dev_batch:
+                targets = parse_targets(Obb3D(dev_batch["obbs_padded"]),
+                                        Pose(dev_batch["T_world_local"]),
+                                        dev_batch.get("sym"))
+                calc.step(host, targets_to_gt_list(targets))
+                total_loss += float(losses["total_loss"])
+                count += 1
+            if for_vis and vis_dir:
+                self._save_vis(batch, host, vis_dir)
+        metrics = calc.compute_metrics(verbose=verbose) if calc.preds or \
+            calc.gts else {}
+        if count:
+            metrics["total_loss"] = total_loss / count
+        if timing and times:
+            metrics["mean_latency_s"] = float(np.mean(times[1:]))
+        return metrics
+
+    def _save_vis(self, batch, host, vis_dir):
+        """Demo PNG output (ref: parq_lightning.py:295-304)."""
+        from ..utils.vis import draw_detections, normalize_img
+        from ..data.transforms import pose12_compose, pose12_inverse
+        os.makedirs(vis_dir, exist_ok=True)
+        from PIL import Image as PILImage
+        b = 0
+        obb = Obb3D(jnp.asarray(host["obb_data"][b]))
+        # boxes live in the local frame: lift to world before projecting
+        # (ref: parq_decoder.py:506-507)
+        T_world_object = pose12_compose(batch["T_world_local"][b],
+                                        host["obb_data"][b][:, 6:18])
+        img = draw_detections(
+            batch["rgb_img"][b], batch["camera"][b],
+            np.asarray(obb.corners_object),
+            T_world_object,
+            pose12_inverse(batch["T_world_pseudoCam"][b]),
+            batch["T_camera_pseudoCam"][b],
+            host["labels"][b],
+            self.cfg.MODEL.DECODER.NUM_SEMCLS,
+            mask=host["pred_mask"][b])
+        name = f"{batch['scene_name'][b]}_{batch['snippet_id'][b]}"
+        PILImage.fromarray((normalize_img(img) * 255).astype(np.uint8)).save(
+            os.path.join(vis_dir, f"{name}_rgb_imgwithbox.png"))

@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Train PARQ-TPU.
+
+Usage mirrors the reference CLI (ref: train.py:147-166):
+    python train.py --cfg configs/train.yaml [KEY VALUE ...]
+
+Use `DATAMODULE.DATA_PATH synthetic` to train on the built-in synthetic
+dataset (no ScanNet needed) — handy for smoke runs and CI.
+"""
+import argparse
+import logging
+
+from parq_tpu.config import get_cfg, update_config
+
+
+def build_loaders(cfg):
+    from parq_tpu.data import ScanNetDataset, SnippetLoader
+    dm = cfg.DATAMODULE
+    if dm.DATA_PATH == "synthetic":
+        from parq_tpu.data.synthetic import SyntheticDataset
+        train_ds = SyntheticDataset(
+            num_snippets=dm.get("SYNTHETIC_TRAIN_SIZE", 32),
+            image_size=tuple(cfg.TPU.IMAGE_SIZE), seed=0)
+        val_ds = SyntheticDataset(
+            num_snippets=dm.get("SYNTHETIC_VAL_SIZE", 8),
+            image_size=tuple(cfg.TPU.IMAGE_SIZE), seed=1000)
+    else:
+        train_ds = ScanNetDataset(
+            dm.DATA_PATH, dm.TRAIN_ANNOTATION_PATH,
+            num_frames_per_snippet=dm.NUM_FRAMES_PER_SNIPPET,
+            image_size=tuple(cfg.TPU.IMAGE_SIZE),
+            gravity_aligned=dm.GRAVITY_ALIGNED, seed=cfg.SEED)
+        val_ds = ScanNetDataset(
+            dm.DATA_PATH, dm.VAL_ANNOTATION_PATH,
+            num_frames_per_snippet=dm.NUM_FRAMES_PER_SNIPPET,
+            image_size=tuple(cfg.TPU.IMAGE_SIZE),
+            gravity_aligned=dm.GRAVITY_ALIGNED, seed=cfg.SEED)
+    train_loader = SnippetLoader(train_ds, dm.BATCH_SIZE, shuffle=dm.SHUFFLE,
+                                 drop_last=True, seed=cfg.SEED)
+    val_loader = SnippetLoader(val_ds, dm.BATCH_SIZE, shuffle=False,
+                               drop_last=False, seed=cfg.SEED)
+    return train_loader, val_loader
+
+
+def main():
+    parser = argparse.ArgumentParser(
+        description="TPU-native PARQ training")
+    parser.add_argument("--cfg", required=True,
+                        help="experiment configure file name")
+    parser.add_argument("opts", nargs=argparse.REMAINDER,
+                        help="KEY VALUE config overrides")
+    args = parser.parse_args()
+
+    cfg = get_cfg()
+    update_config(cfg, args)
+    logging.basicConfig(level=logging.INFO)
+    logging.info("config:\n%s", cfg)
+
+    from parq_tpu.train.loop import Trainer
+    trainer = Trainer(cfg)
+    train_loader, val_loader = build_loaders(cfg)
+    trainer.fit(train_loader, val_loader)
+
+    # final test + validate on best (ref: train.py:129-142)
+    metrics = trainer.validate(val_loader, verbose=True)
+    logging.info("final metrics: %s", metrics)
+
+
+if __name__ == "__main__":
+    main()
