@@ -24,14 +24,14 @@ import time
 CPU_REFERENCE_FPS = 0.34
 
 
-def build(batch_size: int, use_pallas: bool):
+def build(batch_size: int, use_pallas: bool, dtype: str = "float32"):
     import jax
     from __graft_entry__ import _batch, _flagship_model
     import dataclasses
 
     model = _flagship_model()
-    if use_pallas != model.use_pallas:
-        model = dataclasses.replace(model, use_pallas=use_pallas)
+    model = dataclasses.replace(model, use_pallas=use_pallas,
+                                compute_dtype=dtype)
     batch = _batch(model, batch_size)
     params = model.init(jax.random.PRNGKey(0), batch)
 
@@ -63,6 +63,8 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
     args = ap.parse_args()
 
     if args.cpu_ref:
@@ -75,13 +77,14 @@ def main():
 
     use_pallas = not args.no_pallas
     try:
-        fwd, batch = build(args.batch, use_pallas=use_pallas)
+        fwd, batch = build(args.batch, use_pallas=use_pallas,
+                           dtype=args.dtype)
         fps = measure(fwd, batch, iters=args.iters)
     except Exception:
         if not use_pallas:
             raise
         # fall back to the pure-XLA sampler if the pallas path fails
-        fwd, batch = build(args.batch, use_pallas=False)
+        fwd, batch = build(args.batch, use_pallas=False, dtype=args.dtype)
         fps = measure(fwd, batch, iters=args.iters)
 
     print(json.dumps({

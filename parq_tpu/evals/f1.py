@@ -28,14 +28,22 @@ CARE_CLASSES = {
 
 def _associate(dets: List, trks: List, iou_thresh: float):
     """IoU-Hungarian association; returns (matches, unmatched_det_indices).
-    Entries are [cls, corners(8,3), score, trk_id]."""
+    Entries are [cls, corners(8,3), score, trk_id]. Uses the C++ native
+    kernels (parq_tpu/native) when available — the reference leans on
+    scipy/qhull/numba here (SURVEY §2.4)."""
     if not dets or not trks:
         return [], list(range(len(dets)))
-    iou_matrix = np.zeros((len(dets), len(trks)), np.float32)
-    for d, det in enumerate(dets):
-        det_rot = to_odam(det[1])
-        for t, trk in enumerate(trks):
-            iou_matrix[d, t] = iou3d(det_rot, to_odam(trk[1]))[0]
+    from .. import native
+    if native.get_lib() is not None:
+        a = np.stack([to_odam(d[1]) for d in dets])
+        b = np.stack([to_odam(t[1]) for t in trks])
+        iou_matrix = native.iou3d_matrix(a, b).astype(np.float32)
+    else:
+        iou_matrix = np.zeros((len(dets), len(trks)), np.float32)
+        for d, det in enumerate(dets):
+            det_rot = to_odam(det[1])
+            for t, trk in enumerate(trks):
+                iou_matrix[d, t] = iou3d(det_rot, to_odam(trk[1]))[0]
     rows, cols = linear_sum_assignment(-iou_matrix)
     matches = [(r, c) for r, c in zip(rows, cols)
                if iou_matrix[r, c] >= iou_thresh]

@@ -50,15 +50,22 @@ def _greedy(boxes: np.ndarray, overlap_threshold: float,
 def run_nms(pred_corners: np.ndarray, labels: np.ndarray, scores: np.ndarray,
             num_semcls: int, overlap_threshold: float,
             nms_type: str = "nms_3d_faster") -> np.ndarray:
-    """(B,K,8,3) world corners → (B,K) bool keep mask (ref: nms.py:34-70)."""
+    """(B,K,8,3) world corners → (B,K) bool keep mask (ref: nms.py:34-70).
+    Uses the C++ native greedy pass when available."""
+    from .. import native
     B, K = pred_corners.shape[:2]
     rows = corners_to_aabb_rows(pred_corners, scores, labels)
+    same = nms_type == "nms_3d_faster_samecls"
     mask = np.zeros((B, K), bool)
+    use_native = native.get_lib() is not None
     for b in range(B):
         fg = np.where(labels[b] != num_semcls)[0]
-        pick = _greedy(rows[b, fg], overlap_threshold,
-                       same_class=(nms_type == "nms_3d_faster_samecls"))
-        mask[b, fg[pick]] = True
+        if use_native:
+            keep = native.nms3d(rows[b, fg], overlap_threshold, same)
+            mask[b, fg[keep]] = True
+        else:
+            pick = _greedy(rows[b, fg], overlap_threshold, same_class=same)
+            mask[b, fg[pick]] = True
     return mask
 
 

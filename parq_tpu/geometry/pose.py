@@ -88,15 +88,22 @@ class Pose:
         return Pose(self.data.astype(dtype))
 
     # -- algebra -----------------------------------------------------------
+    # NOTE: all contractions use Precision.HIGHEST — TPU default matmul
+    # precision is bf16-ish, which would truncate coordinates (a 48.4459
+    # pixel coord rounds to 48.5). Geometry matmuls are 3x3; full precision
+    # is free.
     def inverse(self) -> "Pose":
         Rt = jnp.swapaxes(self.R, -1, -2)
-        t = -jnp.einsum("...ij,...j->...i", Rt, self.t)
+        t = -jnp.einsum("...ij,...j->...i", Rt, self.t,
+                        precision=jax.lax.Precision.HIGHEST)
         return Pose.from_Rt(Rt, t)
 
     def compose(self, other: "Pose") -> "Pose":
         """T_B2C.compose(T_A2B) -> T_A2C (ref: utils/wrappers.py:253-257)."""
-        R = self.R @ other.R
-        t = self.t + jnp.einsum("...ij,...j->...i", self.R, other.t)
+        R = jnp.matmul(self.R, other.R,
+                       precision=jax.lax.Precision.HIGHEST)
+        t = self.t + jnp.einsum("...ij,...j->...i", self.R, other.t,
+                                precision=jax.lax.Precision.HIGHEST)
         return Pose.from_Rt(R, t)
 
     def __matmul__(self, other: "Pose") -> "Pose":
@@ -105,7 +112,9 @@ class Pose:
     def transform(self, p3d: jnp.ndarray) -> jnp.ndarray:
         """Transform points (..., N, 3). Broadcasting matches the reference:
         ``p3d @ R^T + t[..., None, :]`` (ref: utils/wrappers.py:259-267)."""
-        return p3d @ jnp.swapaxes(self.R, -1, -2) + self.t[..., None, :]
+        return jnp.matmul(p3d, jnp.swapaxes(self.R, -1, -2),
+                          precision=jax.lax.Precision.HIGHEST) \
+            + self.t[..., None, :]
 
     def __mul__(self, p3d: jnp.ndarray) -> jnp.ndarray:
         return self.transform(p3d)

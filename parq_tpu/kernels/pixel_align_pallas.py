@@ -1,0 +1,354 @@
+"""Fused pixel-aligned sampling as a Pallas TPU kernel.
+
+The decoder hot path projects Q query points into every view and bilinearly
+samples C-dim features (ref: model/transformer_parq.py:129-161, F.grid_sample).
+A gather is the GPU idiom; the TPU-native formulation is a **sparse-weight
+matmul**: sampling is `W @ M` where `M` is the (H·W, C) feature map and `W`
+is a (Q, H·W) matrix with ≤4 bilinear weights per row. This kernel builds
+each W tile on the fly in VMEM from the projected coordinates (VPU compares
+against position iotas — out-of-bounds neighbors simply never match, giving
+`padding_mode='zeros'` for free) and contracts it with the feature tile on
+the MXU, accumulating over views with the valid-count mean folded into the
+weights. The (Q, H·W) matrix never exists in HBM.
+
+Backward uses the XLA reference implementation's VJP (exact same math), so
+training is unaffected by kernel details.
+
+Grid: (B, T, H/RT row-tiles); the output block (Q, C) is revisited across
+(t, row-tile) steps and accumulated in place.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..geometry import Camera, Pose
+from ..ops.pixel_align import pixel_aligned_features as _xla_reference
+
+
+def _pick_row_tile(H: int, W: int, C: int, Q: int, itemsize: int) -> int:
+    """Largest divisor row-tile fitting the ~16MB v5e VMEM budget with
+    double-buffered input blocks + the (Q, C) f32 accumulator + weight
+    intermediates."""
+    budget = 12 * 1024 * 1024
+    for rt in (30, 20, 15, 12, 10, 8, 6, 5, 4, 3, 2, 1):
+        if H % rt:
+            continue
+        mem_bytes = 2 * rt * W * C * itemsize          # double-buffered in
+        w_bytes = 3 * Q * rt * W * 4                   # wx/wy/w intermediates
+        out_bytes = Q * C * 4
+        if mem_bytes + w_bytes + out_bytes <= budget:
+            return rt
+    return 1
+
+
+def _sample_kernel(uvs_ref, mem_ref, out_ref, *, W_img: int, RT: int):
+    """uvs: (1, 1, Q, 4) [u, v, scale, _]; mem: (1, 1, RT, W, C);
+    out: (1, Q, C) accumulated over grid steps (t, row-tile)."""
+    t = pl.program_id(1)
+    r = pl.program_id(2)
+
+    @pl.when((t == 0) & (r == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    uvs = uvs_ref[0, 0]                        # (Q, 4)
+    u = uvs[:, 0:1]                            # (Q, 1)
+    v = uvs[:, 1:2]
+    scale = uvs[:, 2:3]                        # valid/count fold-in
+
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    fx = u - x0
+    fy = v - y0
+
+    row0 = r * RT
+    P = RT * W_img
+    Q = u.shape[0]
+
+    # Separable bilinear weights, built as SMALL factors and expanded to the
+    # flat (Q, P) tile on the MXU via constant indicator matrices — dense
+    # O(Q·P) VPU construction is the bottleneck otherwise. Out-of-bounds
+    # neighbors never match any position → zeros padding for free.
+    zero = jnp.float32(0.0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Q, W_img), 1).astype(
+        jnp.float32)
+    rowg = (jax.lax.broadcasted_iota(jnp.int32, (Q, RT), 1)
+            + row0).astype(jnp.float32)
+    wx = (jnp.where(col == x0, 1.0 - fx, zero)
+          + jnp.where(col == x0 + 1.0, fx, zero))          # (Q, W)
+    wy = (jnp.where(rowg == y0, (1.0 - fy) * scale, zero)
+          + jnp.where(rowg == y0 + 1.0, fy * scale, zero))  # (Q, RT)
+
+    # indicator expanders: E[r, p] = [p // W == r], F[x, p] = [p % W == x]
+    # (row/col from float math — integer div is emulated & slow on VPU;
+    # floor((p + 0.5)/W) is exact for integer p)
+    pp_r = jax.lax.broadcasted_iota(jnp.int32, (RT, P), 1).astype(jnp.float32)
+    r_id = jax.lax.broadcasted_iota(jnp.int32, (RT, P), 0).astype(jnp.float32)
+    p_row = jnp.floor((pp_r + 0.5) * jnp.float32(1.0 / W_img))
+    E = (p_row == r_id).astype(jnp.float32)                 # (RT, P)
+    pp_c = jax.lax.broadcasted_iota(jnp.int32, (W_img, P), 1).astype(
+        jnp.float32)
+    c_id = jax.lax.broadcasted_iota(jnp.int32, (W_img, P), 0).astype(
+        jnp.float32)
+    p_col = pp_c - jnp.floor((pp_c + 0.5) * jnp.float32(1.0 / W_img)) * W_img
+    F = (p_col == c_id).astype(jnp.float32)                 # (W, P)
+
+    hp = jax.lax.Precision.HIGHEST  # exact 0/1 expansion, cheap (small K)
+    wyP = jnp.dot(wy, E, precision=hp,
+                  preferred_element_type=jnp.float32)  # (Q, P)
+    wxP = jnp.dot(wx, F, precision=hp,
+                  preferred_element_type=jnp.float32)  # (Q, P)
+    w_tile = wyP * wxP
+
+    # dtype-matched MXU: bf16 memory → fast bf16 matmul (f32 accumulate);
+    # f32 memory → full-precision passes to preserve checkpoint parity.
+    # memory arrives pre-flattened (1, 1, P, C): no in-kernel relayout.
+    mem = mem_ref[0, 0]                                     # (P, C)
+    precision = (jax.lax.Precision.HIGHEST
+                 if mem.dtype == jnp.float32 else None)
+    contrib = jnp.dot(w_tile.astype(mem.dtype), mem,
+                      precision=precision,
+                      preferred_element_type=jnp.float32)   # (Q, C)
+    out_ref[0] += contrib.astype(out_ref.dtype)
+
+
+def _pallas_sample(memory_hw: jnp.ndarray, uvs: jnp.ndarray) -> jnp.ndarray:
+    """memory_hw: (B, T, H, W, C); uvs: (B, T, Q, 4) → (B, Q, C)."""
+    B, T, H, W, C = memory_hw.shape
+    Q = uvs.shape[2]
+    RT = _pick_row_tile(H, W, C, Q, memory_hw.dtype.itemsize)
+    grid = (B, T, H // RT)
+
+    kernel = functools.partial(_sample_kernel, W_img=W, RT=RT)
+    flops = 2 * B * T * H * W * Q * C
+    # flatten pixel positions OUTSIDE the kernel (free in HBM; an in-kernel
+    # (RT, W, C) → (P, C) collapse forces a costly bf16 relayout)
+    memory_flat = memory_hw.reshape(B, T, H * W, C)
+    PT = RT * W
+    # interpret mode off-TPU so tests/CPU fallback work unchanged
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, Q, 4), lambda b, t, r: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, PT, C), lambda b, t, r: (b, t, r, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Q, C), lambda b, t, r: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Q, C), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=memory_hw.size * memory_hw.dtype.itemsize
+            + B * Q * C * 4,
+            transcendentals=0),
+        interpret=interpret,
+    )(uvs, memory_flat)
+
+
+def _gather_kernel(idx_ref, w_ref, mem_ref, out_ref, scratch, sems, *,
+                   W_img: int):
+    """Double-buffered DMA gather: per query, one strided DMA pulls the
+    2×2 neighbor block (2·2·C contiguous-in-C) from HBM into VMEM while the
+    previous query's block is weighted and accumulated. Edge handling is
+    folded into the weights outside the kernel (clamped indices, zeroed
+    out-of-bounds weights), so the kernel is a pure gather-fma."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    Q = out_ref.shape[1]
+    C = out_ref.shape[2]
+
+    def get_dma(slot, q):
+        i = idx_ref[b, t, q]           # flattened y0c * W + x0c
+        y0 = i // W_img
+        x0 = jax.lax.rem(i, W_img)
+        return pltpu.make_async_copy(
+            mem_ref.at[b, t, pl.ds(y0, 2), pl.ds(x0, 2), :],
+            scratch.at[slot],
+            sems.at[slot])
+
+    get_dma(0, 0).start()
+
+    def body(q, carry):
+        slot = jax.lax.rem(q, 2)
+
+        @pl.when(q + 1 < Q)
+        def _start_next():
+            get_dma(jax.lax.rem(q + 1, 2), q + 1).start()
+
+        get_dma(slot, q).wait()
+        rows = scratch[slot].reshape(4, C)
+        w = w_ref[0, 0, pl.ds(q, 1), :]          # (1, 4)
+        acc = jnp.dot(w, rows, preferred_element_type=jnp.float32)  # (1, C)
+        out_ref[0, pl.ds(q, 1), :] += acc.astype(out_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, Q, body, 0)
+
+
+def _pallas_sample_gather(memory_hw: jnp.ndarray,
+                          uvs: jnp.ndarray) -> jnp.ndarray:
+    """DMA-gather strategy. memory_hw: (B,T,H,W,C); uvs: (B,T,Q,4)."""
+    B, T, H, W, C = memory_hw.shape
+    Q = uvs.shape[2]
+
+    u, v, scale = uvs[..., 0], uvs[..., 1], uvs[..., 2]
+    x0f = jnp.floor(u)
+    y0f = jnp.floor(v)
+    fx = u - x0f
+    fy = v - y0f
+    x0c = jnp.clip(x0f, 0, W - 2)
+    y0c = jnp.clip(y0f, 0, H - 2)
+    idx = (y0c * W + x0c).astype(jnp.int32)      # (B, T, Q)
+
+    # per-scratch-position weights with OOB folded in: position (a, b) holds
+    # pixel (y0c+a, x0c+b); weight = wx(col) * wy(row) * scale, where the
+    # col/row weight is nonzero only if it coincides with a true neighbor.
+    def axis_w(cf, c0c, frac, delta):
+        col = c0c + delta
+        return jnp.where(col == cf, 1.0 - frac,
+                         jnp.where(col == cf + 1.0, frac, 0.0))
+
+    ws = []
+    for a in (0.0, 1.0):
+        wy = axis_w(y0f, y0c, fy, a)
+        for bb in (0.0, 1.0):
+            wx = axis_w(x0f, x0c, fx, bb)
+            ws.append(wx * wy * scale)
+    w4 = jnp.stack(ws, axis=-1).astype(jnp.float32)  # (B, T, Q, 4)
+
+    kernel = functools.partial(_gather_kernel, W_img=W)
+    interpret = jax.default_backend() != "tpu"
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, T),
+        in_specs=[
+            # index maps receive the scalar-prefetch ref as a trailing arg
+            pl.BlockSpec((1, 1, Q, 4), lambda b, t, idx: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),      # memory stays in HBM
+        ],
+        out_specs=pl.BlockSpec((1, Q, C), lambda b, t, idx: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, 2, C), memory_hw.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Q, C), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * B * T * Q * C,
+            bytes_accessed=4 * B * T * Q * C * memory_hw.dtype.itemsize,
+            transcendentals=0),
+    )(idx, w4, memory_hw)
+    return out
+
+
+def _project_uvs(query_pos, T_camera_local: Pose, camera: Camera):
+    """Projection + valid-mean scale, shared with the XLA path semantics."""
+    query_pos_c = T_camera_local.transform(query_pos[:, None, :, :])
+    center_im, center_valid = camera.project(query_pos_c)  # (B,T,Q,2/(B,T,Q)
+    count = jnp.sum(center_valid.astype(jnp.float32), axis=1)  # (B, Q)
+    count = jnp.where(count == 0, 1.0, count)
+    scale = 1.0 / count[:, None, :]                        # (B, 1→T, Q)
+    scale = jnp.broadcast_to(scale, center_valid.shape)
+    uvs = jnp.concatenate([
+        center_im,
+        scale[..., None].astype(center_im.dtype),
+        jnp.zeros_like(scale[..., None], center_im.dtype),
+    ], axis=-1)
+    return uvs, center_im, center_valid
+
+
+@jax.custom_vjp
+def _sample_op(memory_hw, query_pos, T_camera_local_data, camera_data,
+               feat_size):
+    feats, _, _ = _sample_impl(memory_hw, query_pos, T_camera_local_data,
+                               camera_data, feat_size)
+    return feats
+
+
+# "matmul" builds bilinear weights on the fly and contracts on the MXU.
+# "gather" (per-query 2x2 DMA) is kept for reference but is NOT usable on
+# real TPUs: HBM slices along the sublane-tiled W dim must be 8-aligned
+# (Mosaic: "Slice shape along dimension 3 must be aligned to tiling (8)").
+STRATEGY = "matmul"
+
+
+def _xla_sample_from_uvs(memory_hw: jnp.ndarray, uvs: jnp.ndarray):
+    """Pure-XLA sampling parameterized directly by (u, v, scale) — used as
+    the exact VJP of the pallas kernel (identical math, differentiable in
+    both memory and uvs)."""
+    from ..ops.grid_sample import grid_sample_bilinear
+    B, T, H, W, C = memory_hw.shape
+    Q = uvs.shape[2]
+    gx = 2.0 * uvs[..., 0] / (W - 1) - 1.0
+    gy = 2.0 * uvs[..., 1] / (H - 1) - 1.0
+    grid = jnp.stack([gx, gy], axis=-1)
+    feats = grid_sample_bilinear(
+        memory_hw.reshape(B * T, H, W, C), grid.reshape(B * T, Q, 2))
+    feats = feats.reshape(B, T, Q, C)
+    return jnp.sum(feats * uvs[..., 2:3], axis=1)   # scale folds the mean
+
+
+@jax.custom_vjp
+def _sample_op(memory_hw, uvs):
+    if STRATEGY == "gather":
+        return _pallas_sample_gather(memory_hw, uvs)
+    return _pallas_sample(memory_hw, uvs)
+
+
+def _sample_fwd(memory_hw, uvs):
+    return _sample_op(memory_hw, uvs), (memory_hw, uvs)
+
+
+def _sample_bwd(res, g):
+    """Exact VJP via the XLA formulation (identical math)."""
+    memory_hw, uvs = res
+    _, vjp = jax.vjp(_xla_sample_from_uvs, memory_hw, uvs)
+    dm, duvs = vjp(g.astype(jnp.float32))
+    return dm, duvs
+
+
+_sample_op.defvjp(_sample_fwd, _sample_bwd)
+
+
+def pixel_aligned_features_pallas(
+    memory_hw: jnp.ndarray,
+    query_pos: jnp.ndarray,
+    T_camera_local: Pose,
+    camera: Camera,
+    feat_size: Tuple[int, int],
+):
+    """Drop-in replacement for ops.pixel_align.pixel_aligned_features.
+
+    Projection runs once (differentiable XLA); the fused kernel consumes the
+    resulting (u, v, scale) tuple, so query-position gradients flow through
+    the projection outside the custom_vjp boundary.
+    """
+    if memory_hw.dtype == jnp.float32:
+        # At f32 the kernel needs HIGHEST-precision MXU passes and loses to
+        # XLA's native gather; the kernel wins for bf16 memory. Delegate.
+        return _xla_reference(memory_hw, query_pos, T_camera_local, camera,
+                              feat_size)
+    uvs, center_im, center_valid = _project_uvs(query_pos, T_camera_local,
+                                                camera)
+    feats = _sample_op(memory_hw, uvs).astype(memory_hw.dtype)
+    return feats, center_im, center_valid

@@ -53,6 +53,7 @@ class DecoderLayer(nn.Module):
     ffn_dim: int
     dropout_rate: float
     deterministic: bool
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, tgt: jnp.ndarray, memory: jnp.ndarray,
@@ -67,20 +68,20 @@ class DecoderLayer(nn.Module):
         sa = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, qkv_features=self.dim,
             out_features=self.dim, dropout_rate=self.dropout_rate,
-            broadcast_dropout=False, deterministic=det,
+            broadcast_dropout=False, deterministic=det, dtype=self.dtype,
             name="self_attn")(q, k, tgt)
         tgt = nn.LayerNorm(name="norm1")(tgt + drop(sa, "dropout1"))
 
         ca = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, qkv_features=self.dim,
             out_features=self.dim, dropout_rate=self.dropout_rate,
-            broadcast_dropout=False, deterministic=det,
+            broadcast_dropout=False, deterministic=det, dtype=self.dtype,
             name="cross_attn")(tgt + query_pos, memory, memory)
         tgt = nn.LayerNorm(name="norm2")(tgt + drop(ca, "dropout2"))
 
-        ff = nn.Dense(self.ffn_dim, name="linear1")(tgt)
+        ff = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(tgt)
         ff = drop(nn.relu(ff), "dropout")
-        ff = nn.Dense(self.dim, name="linear2")(ff)
+        ff = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(ff)
         tgt = nn.LayerNorm(name="norm3")(tgt + drop(ff, "dropout3"))
         return tgt
 
@@ -97,6 +98,7 @@ class DecoderIteration(nn.Module):
     mean_size: Tuple[Tuple[float, ...], ...]
     deterministic: bool
     use_pallas: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, ref_points, inputs):
@@ -122,7 +124,11 @@ class DecoderIteration(nn.Module):
         memory_tokens = memory_hw.reshape(B, T * H * W, C)
         out = DecoderLayer(self.dim, self.heads, self.ffn_dim,
                            self.dropout_rate, self.deterministic,
-                           name="layer")(pix, memory_tokens, pos_feat)
+                           dtype=self.dtype,
+                           name="layer")(pix.astype(self.dtype),
+                                         memory_tokens.astype(self.dtype),
+                                         pos_feat.astype(self.dtype))
+        out = out.astype(jnp.float32)
 
         # MLP heads (shared across iterations via params broadcast;
         # ref: parq_decoder.py:84-132, transformer_parq.py:211-281)
@@ -180,6 +186,8 @@ class PARQDecoder(nn.Module):
     mean_size: Tuple[Tuple[float, ...], ...] = ()
     share_weights: bool = True
     use_pallas: bool = False
+    remat: bool = False
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, memory_hw: jnp.ndarray, camera: Camera,
@@ -211,12 +219,14 @@ class PARQDecoder(nn.Module):
             dropout_rate=self.dropout_rate, num_semcls=self.num_semcls,
             scale=tuple(self.scale), feat_size=tuple(self.feat_size),
             mean_size=mean_size, deterministic=deterministic,
-            use_pallas=self.use_pallas)
+            use_pallas=self.use_pallas, dtype=self.dtype)
 
         inputs = (memory_hw, camera.data, T_camera_local.data)
+        IterCls = nn.remat(DecoderIteration) if self.remat \
+            else DecoderIteration
         if self.share_weights:
             ScanIter = nn.scan(
-                DecoderIteration,
+                IterCls,
                 variable_broadcast="params",
                 split_rngs={"params": False, "dropout": True},
                 in_axes=nn.broadcast,
@@ -228,7 +238,7 @@ class PARQDecoder(nn.Module):
         else:
             outs = []
             for i in range(self.num_layers):
-                ref_points, o = DecoderIteration(
+                ref_points, o = IterCls(
                     name=f"iteration_{i}", **iter_kwargs)(ref_points, inputs)
                 outs.append(o)
             outputs = jax.tree_util.tree_map(

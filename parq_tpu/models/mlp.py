@@ -59,9 +59,10 @@ class MLP2(nn.Module):
     encoder, ref: ray_positional_encoding.py:55-59, transformer_parq.py:176-180)."""
     hidden_dim: int
     output_dim: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(self.hidden_dim)(x)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype)(x)
         x = nn.relu(x)
-        return nn.Dense(self.output_dim)(x)
+        return nn.Dense(self.output_dim, dtype=self.dtype)(x)

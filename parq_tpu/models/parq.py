@@ -41,6 +41,8 @@ class PARQModel(nn.Module):
     image_size: Tuple[int, int] = (320, 240)  # (W, H)
     mean_size: Tuple[Tuple[float, ...], ...] = ()
     use_pallas: bool = False
+    remat: bool = False
+    compute_dtype: str = "float32"   # "bfloat16" for the fast path
 
     @classmethod
     def from_config(cls, cfg, use_pallas: bool = None) -> "PARQModel":
@@ -49,6 +51,7 @@ class PARQModel(nn.Module):
                                     m.DECODER.NUM_SEMCLS)
         if use_pallas is None:
             use_pallas = bool(cfg.TPU.USE_PALLAS_SAMPLER)
+        compute_dtype = str(cfg.TPU.COMPUTE_DTYPE)
         return cls(
             resnet_name=m.BACKBONE2D.RESNET_NAME,
             backbone_layer=int(m.BACKBONE2D.LAYER),
@@ -71,6 +74,8 @@ class PARQModel(nn.Module):
             image_size=tuple(cfg.TPU.IMAGE_SIZE),
             mean_size=tuple(tuple(float(v) for v in row) for row in mean),
             use_pallas=use_pallas,
+            remat=bool(cfg.TPU.REMAT),
+            compute_dtype=compute_dtype,
         )
 
     @property
@@ -89,9 +94,11 @@ class PARQModel(nn.Module):
         T_world_pseudoCam = Pose(batch["T_world_pseudoCam"])
         T_world_local = Pose(batch["T_world_local"])
 
+        dtype = (jnp.bfloat16 if self.compute_dtype == "bfloat16"
+                 else jnp.float32)
         feats = ResNetFPN(self.resnet_name, self.backbone_layer,
                           self.backbone_freeze, self.fpn_channels,
-                          name="backbone2d")(
+                          dtype=dtype, name="backbone2d")(
             batch["rgb_img"])  # (B,T,h,w,4*fpn_channels)
 
         scale_factor = 1.0 / (2 ** (self.backbone_layer + 2))
@@ -100,7 +107,7 @@ class PARQModel(nn.Module):
         encoding = AddRayPE(
             self.tokenizer_out_channels, tuple(self.ray_points_scale),
             self.num_samples, self.min_depth, self.max_depth,
-            self.feat_size, name="add_ray_pe")(
+            self.feat_size, dtype=dtype, name="add_ray_pe")(
             camera_feature, T_camera_pseudoCam, T_world_pseudoCam,
             T_world_local)
 
@@ -112,7 +119,8 @@ class PARQModel(nn.Module):
             num_queries=self.num_queries, num_semcls=self.num_semcls,
             scale=tuple(self.scale), feat_size=self.feat_size,
             mean_size=self.mean_size, share_weights=self.share_weights,
-            use_pallas=self.use_pallas, name="box3d_decoder")(
+            use_pallas=self.use_pallas, remat=self.remat, dtype=dtype,
+            name="box3d_decoder")(
             memory, camera_feature, T_camera_pseudoCam, T_world_pseudoCam,
             T_world_local, deterministic=deterministic)
         return outputs

@@ -24,6 +24,7 @@ class AddRayPE(nn.Module):
     max_depth: float = 5.25
     feat_size: Tuple[int, int] = (80, 60)  # static (W, H); the reference
     # reads it from camera.size on host (ref: :81-83) — here it's config.
+    dtype: object = None
 
     @nn.compact
     def __call__(self, camera: Camera, T_camera_pseudoCam: Pose,
@@ -45,4 +46,7 @@ class AddRayPE(nn.Module):
         pts = inverse_sigmoid(pts)
         B, T = pts.shape[:2]
         flat = pts.reshape(B, T, H, W, self.num_samples * 3)
-        return MLP2(self.dim_out, self.dim_out, name="encoder")(flat)
+        if self.dtype is not None:
+            flat = flat.astype(self.dtype)
+        return MLP2(self.dim_out, self.dim_out,
+                    dtype=self.dtype or jnp.float32, name="encoder")(flat)

@@ -54,31 +54,33 @@ class FrozenBatchNorm(nn.Module):
         return x * inv + (bias - mean * inv)
 
 
-def _conv(features, kernel, stride=1, name=None):
+def _conv(features, kernel, stride=1, name=None, dtype=None):
     return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
                    padding=[(kernel // 2, kernel // 2)] * 2, use_bias=False,
-                   name=name)
+                   dtype=dtype, name=name)
 
 
 class Bottleneck(nn.Module):
     features: int  # internal width; output is 4x
     stride: int = 1
     downsample: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = _conv(self.features, 1, name="conv1")(x)
+        out = _conv(self.features, 1, name="conv1", dtype=self.dtype)(x)
         out = FrozenBatchNorm(self.features, name="bn1")(out)
         out = nn.relu(out)
-        out = _conv(self.features, 3, self.stride, name="conv2")(out)
+        out = _conv(self.features, 3, self.stride, name="conv2",
+                    dtype=self.dtype)(out)
         out = FrozenBatchNorm(self.features, name="bn2")(out)
         out = nn.relu(out)
-        out = _conv(self.features * 4, 1, name="conv3")(out)
+        out = _conv(self.features * 4, 1, name="conv3", dtype=self.dtype)(out)
         out = FrozenBatchNorm(self.features * 4, name="bn3")(out)
         if self.downsample:
             identity = _conv(self.features * 4, 1, self.stride,
-                             name="downsample_conv")(x)
+                             name="downsample_conv", dtype=self.dtype)(x)
             identity = FrozenBatchNorm(self.features * 4,
                                        name="downsample_bn")(identity)
         return nn.relu(out + identity)
@@ -88,18 +90,20 @@ class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     downsample: bool = False
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         identity = x
-        out = _conv(self.features, 3, self.stride, name="conv1")(x)
+        out = _conv(self.features, 3, self.stride, name="conv1",
+                    dtype=self.dtype)(x)
         out = FrozenBatchNorm(self.features, name="bn1")(out)
         out = nn.relu(out)
-        out = _conv(self.features, 3, name="conv2")(out)
+        out = _conv(self.features, 3, name="conv2", dtype=self.dtype)(out)
         out = FrozenBatchNorm(self.features, name="bn2")(out)
         if self.downsample:
             identity = _conv(self.features, 1, self.stride,
-                             name="downsample_conv")(x)
+                             name="downsample_conv", dtype=self.dtype)(x)
             identity = FrozenBatchNorm(self.features,
                                        name="downsample_bn")(identity)
         return nn.relu(out + identity)
@@ -107,6 +111,7 @@ class BasicBlock(nn.Module):
 
 class ResNet(nn.Module):
     name_: str = "resnet50"
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x) -> Sequence[jnp.ndarray]:
@@ -116,7 +121,7 @@ class ResNet(nn.Module):
         expansion = 4 if self.name_ in BOTTLENECK else 1
 
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, name="conv1")(x)
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = FrozenBatchNorm(64, name="bn1")(x)
         x = nn.relu(x)
         # torch maxpool(3, stride 2, pad 1)
@@ -131,7 +136,7 @@ class ResNet(nn.Module):
             for bi in range(blocks):
                 down = bi == 0 and (stride != 1 or si == 0 and expansion != 1)
                 x = block(width, stride if bi == 0 else 1, down,
-                          name=f"layer{si + 1}_{bi}")(x)
+                          dtype=self.dtype, name=f"layer{si + 1}_{bi}")(x)
             feats.append(x)
             width *= 2
         return feats
@@ -141,12 +146,13 @@ class FPN(nn.Module):
     """torchvision FeaturePyramidNetwork: 1x1 laterals → top-down nearest
     upsample + add → 3x3 smoothing convs; 256 channels."""
     out_channels: int = 256
+    dtype: object = None
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray]) -> Sequence[jnp.ndarray]:
         laterals = [
             nn.Conv(self.out_channels, (1, 1), use_bias=True,
-                    name=f"inner_{i}")(f)
+                    dtype=self.dtype, name=f"inner_{i}")(f)
             for i, f in enumerate(feats)
         ]
         # top-down pathway (nearest upsample, torchvision F.interpolate default)
@@ -161,7 +167,7 @@ class FPN(nn.Module):
             outs[i] = prev
         return [
             nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],
-                    use_bias=True, name=f"layer_{i}")(o)
+                    use_bias=True, dtype=self.dtype, name=f"layer_{i}")(o)
             for i, o in enumerate(outs)
         ]
 
@@ -175,6 +181,7 @@ class ResNetFPN(nn.Module):
     layer: int = 0   # target pyramid level for the concat (stride 4)
     freeze: bool = False
     fpn_channels: int = 256
+    dtype: object = None   # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
@@ -183,9 +190,11 @@ class ResNetFPN(nn.Module):
         mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
         std = jnp.asarray(IMAGENET_STD, x.dtype)
         x = (x - mean) / std
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
-        feats = ResNet(self.resnet_name, name="body")(x)
-        pyr = FPN(self.fpn_channels, name="fpn")(feats)
+        feats = ResNet(self.resnet_name, dtype=self.dtype, name="body")(x)
+        pyr = FPN(self.fpn_channels, dtype=self.dtype, name="fpn")(feats)
 
         # resize all levels to the target level and concat (ref: :73-80);
         # F.interpolate(mode='bilinear') default align_corners=False ==
