@@ -7,6 +7,8 @@ does a D2H hop per decoder iteration for this lookup
 """
 from __future__ import annotations
 
+import os
+
 from typing import Optional
 
 import jax
@@ -31,6 +33,13 @@ def load_mean_size_table(mean_size_path: Optional[str], num_semcls: int = 9,
     (ref: utils/parq_utils.py:62-88).
     """
     if mean_size_path is None:
+        return np.ones((num_semcls + 1, 3), np.float32)
+    if not os.path.exists(mean_size_path):
+        # the mean-size table ships with the user's ScanNet/scan2cad data
+        # (see README); fall back to unit sizes so the model still runs
+        import warnings
+        warnings.warn(f"mean size table not found at {mean_size_path}; "
+                      "using unit sizes")
         return np.ones((num_semcls + 1, 3), np.float32)
 
     typelong = {}

@@ -50,13 +50,9 @@ def restore_state(mgr: ocp.CheckpointManager, state, step: Optional[int] = None)
     step = step if step is not None else mgr.latest_step()
     if step is None:
         return state, {}
-    template = {
-        "params": state.params,
-        "frozen": state.frozen,
-        "opt_state": state.opt_state,
-        "step": state.step,
-    }
-    restored = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    # restore without a template: the payload may carry extras (data_state)
+    # a fixed template would reject
+    restored = mgr.restore(step, args=ocp.args.StandardRestore())
     new_state = state.replace(
         params=restored["params"], frozen=restored["frozen"],
         opt_state=restored["opt_state"], step=restored["step"])

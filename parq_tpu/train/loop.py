@@ -9,6 +9,7 @@ from __future__ import annotations
 import logging
 import os
 import time
+from collections import defaultdict
 from typing import Dict, Optional
 
 import jax
@@ -66,6 +67,9 @@ class Trainer:
         self._writer = None
         self.state = None
         self.global_step = 0
+        # 'simple' profiler: per-phase wall time (ref TRAINER.PROFILER)
+        self._prof = defaultdict(float)
+        self._prof_n = defaultdict(int)
 
     # -- logging ---------------------------------------------------------
     @property
@@ -81,6 +85,55 @@ class Trainer:
                 self.writer.add_scalar(f"{stage}/{k}", float(v), step)
             except (TypeError, ValueError):
                 pass
+
+    def log_images(self, batch: Dict, outputs: Dict, stage: str):
+        """Wireframe prediction/GT overlays + PCA feature maps to TB
+        (ref: parq_lightning.py:228-293, LOG_IMAGES_FREQUENCY)."""
+        if not self.cfg.LOG_IMAGES:
+            return
+        try:
+            last = {k: v[-1] for k, v in outputs.items()}
+            host = parse_pred(
+                last, batch["T_world_local"],
+                tuple(self.cfg.MODEL.DECODER.TRACK_SCALE),
+                self.cfg.MODEL.DECODER.NUM_SEMCLS,
+                enable_nms=bool(self.cfg.MODEL.DECODER.ENABLE_NMS))
+            img = self._render_boxes(batch, host)
+            self.writer.add_image(f"{stage}/rgb_imgwithbox",
+                                  img.transpose(2, 0, 1), self.global_step)
+        except Exception as e:  # vis is best-effort (no cv2, etc.)
+            logger.debug("image logging skipped: %s", e)
+
+    def _render_boxes(self, batch, host):
+        from ..data.transforms import pose12_compose, pose12_inverse
+        from ..utils.vis import draw_detections, normalize_img
+        b = 0
+        obb = Obb3D(jnp.asarray(host["obb_data"][b]))
+        T_world_object = pose12_compose(
+            np.asarray(batch["T_world_local"])[b],
+            host["obb_data"][b][:, 6:18])
+        img = draw_detections(
+            np.asarray(batch["rgb_img"])[b], np.asarray(batch["camera"])[b],
+            np.asarray(obb.corners_object), T_world_object,
+            pose12_inverse(np.asarray(batch["T_world_pseudoCam"])[b]),
+            np.asarray(batch["T_camera_pseudoCam"])[b],
+            host["labels"][b], self.cfg.MODEL.DECODER.NUM_SEMCLS,
+            mask=host["pred_mask"][b])
+        return normalize_img(img)
+
+    def _tick(self, phase: str, t0: float) -> float:
+        now = time.perf_counter()
+        self._prof[phase] += now - t0
+        self._prof_n[phase] += 1
+        return now
+
+    def profile_summary(self) -> str:
+        lines = ["phase            total_s    calls    mean_ms"]
+        for k in sorted(self._prof):
+            n = max(self._prof_n[k], 1)
+            lines.append(f"{k:<16} {self._prof[k]:>8.2f} {n:>8d} "
+                         f"{self._prof[k] / n * 1e3:>9.2f}")
+        return "\n".join(lines)
 
     # -- setup -----------------------------------------------------------
     def setup_state(self, example_batch: Dict, steps_per_epoch: int):
@@ -131,13 +184,23 @@ class Trainer:
         limit_val = cfg.TRAINER.LIMIT_VAL_BATCHES
         rng = jax.random.PRNGKey(cfg.SEED + 17)
 
+        log_img_every = max(int(cfg.LOG_IMAGES_FREQUENCY), 1)
         while train_loader.epoch < cfg.TRAINER.MAX_EPOCHS:
+            t0 = time.perf_counter()
             for batch in train_loader:
+                t0 = self._tick("data", t0)
                 rng, sub = jax.random.split(rng)
                 dev_batch = to_device_batch(batch, self.mesh)
                 self.state, metrics = self.train_step_fn(
                     self.state, dev_batch, sub)
+                t0 = self._tick("train_step", t0)
                 self.global_step += 1
+                if cfg.LOG_IMAGES and self.global_step % log_img_every == 0:
+                    _, outputs = self.eval_step_fn(self.state, dev_batch, sub)
+                    self.log_images(dev_batch | {
+                        k: batch[k] for k in ("scene_name", "snippet_id")},
+                        outputs, "train")
+                    t0 = self._tick("log_images", t0)
                 if self.global_step % cfg.TRAINER.LOG_EVERY_N_STEPS == 0:
                     host = {k: float(v) for k, v in metrics.items()}
                     host["lr"] = float(self.lr_schedule(self.global_step))
@@ -157,6 +220,8 @@ class Trainer:
                 save_state(self.ckpt_mgr, self.global_step, self.state,
                            data_state=train_loader.state_dict())
         self.ckpt_mgr.wait_until_finished()
+        if self.cfg.TRAINER.PROFILER:
+            logger.info("profiler summary:\n%s", self.profile_summary())
 
     def validate(self, loader, limit_batches=1.0, verbose: bool = False,
                  for_vis: bool = False, vis_dir: Optional[str] = None,
