@@ -51,7 +51,14 @@ class Trainer:
 
         self.model = PARQModel.from_config(cfg, use_pallas=use_pallas)
         self.loss_cfg = LossConfig.from_config(cfg)
-        self.mesh = make_mesh(data=cfg.TPU.MESH_DATA, model=cfg.TPU.MESH_MODEL)
+        # DP axis must divide the per-step batch: clamp to the largest
+        # divisor of BATCH_SIZE that fits the device count
+        n_dev = len(jax.devices()) // max(cfg.TPU.MESH_MODEL, 1)
+        data = cfg.TPU.MESH_DATA if cfg.TPU.MESH_DATA != -1 else n_dev
+        bs = max(int(cfg.DATAMODULE.BATCH_SIZE), 1)
+        while data > 1 and bs % data != 0:
+            data -= 1
+        self.mesh = make_mesh(data=data, model=cfg.TPU.MESH_MODEL)
 
         self.train_step_fn = make_jitted_train_step(
             self.loss_cfg, donate=bool(cfg.TPU.DONATE_TRAIN_STATE))
