@@ -92,6 +92,33 @@ def _mha(tree, prefix_t, sd, path_f, num_heads: int):
     _set(tree, f"params/{path_f}/out/bias", sd[f"{prefix_t}.out_proj.bias"])
 
 
+def _mha_split_cross(tree, prefix_t, sd, layer_path: str, dec_path: str,
+                     num_heads: int):
+    """torch MHA → split layout: q/out in the scanned layer
+    (cross_attn_query / cross_attn_out), k/v hoisted to the decoder
+    (cross_attn_key / cross_attn_value) — see models/decoder.py."""
+    in_w = sd[f"{prefix_t}.in_proj_weight"]
+    in_b = sd[f"{prefix_t}.in_proj_bias"]
+    D = in_w.shape[1]
+    Dh = D // num_heads
+    targets = {
+        "query": f"{layer_path}/cross_attn_query",
+        "key": f"{dec_path}/cross_attn_key",
+        "value": f"{dec_path}/cross_attn_value",
+    }
+    for i, name in enumerate(["query", "key", "value"]):
+        w = in_w[i * D:(i + 1) * D]
+        b = in_b[i * D:(i + 1) * D]
+        _set(tree, f"params/{targets[name]}/kernel",
+             w.T.reshape(D, num_heads, Dh))
+        _set(tree, f"params/{targets[name]}/bias", b.reshape(num_heads, Dh))
+    ow = sd[f"{prefix_t}.out_proj.weight"]
+    _set(tree, f"params/{layer_path}/cross_attn_out/kernel",
+         ow.T.reshape(num_heads, Dh, D))
+    _set(tree, f"params/{layer_path}/cross_attn_out/bias",
+         sd[f"{prefix_t}.out_proj.bias"])
+
+
 def _head_mlp(tree, prefix_t, sd, path_f, num_hidden: int):
     """GenericMLP conv-mode (ref generic_mlp.py layer indexing: per hidden
     block Conv1d,GN,ReLU,Dropout — stride 4; final Conv1d last)."""
@@ -167,8 +194,11 @@ def convert_parq_checkpoint(sd: Mapping[str, np.ndarray],
             f"{it_f}/position_encoder/Dense_1")
     lay_t = f"{dec_t}.layers.0"
     _mha(tree, f"{lay_t}.self_attn", sd, f"{it_f}/layer/self_attn", num_heads)
-    _mha(tree, f"{lay_t}.multihead_attn", sd, f"{it_f}/layer/cross_attn",
-         num_heads)
+    # cross-attention is split in the TPU build: memory K/V projections are
+    # hoisted out of the recurrence (decoder-level), q/out stay in the layer
+    _mha_split_cross(tree, f"{lay_t}.multihead_attn", sd,
+                     layer_path=f"{it_f}/layer",
+                     dec_path="box3d_decoder", num_heads=num_heads)
     _linear(tree, f"{lay_t}.linear1", sd, f"{it_f}/layer/linear1")
     _linear(tree, f"{lay_t}.linear2", sd, f"{it_f}/layer/linear2")
     for n in ("norm1", "norm2", "norm3"):

@@ -47,7 +47,15 @@ def denormalize_points(p: jnp.ndarray, scale: Sequence[float]) -> jnp.ndarray:
 
 
 class DecoderLayer(nn.Module):
-    """Post-norm transformer decoder layer (ref: transformer_parq.py:340-386)."""
+    """Post-norm transformer decoder layer (ref: transformer_parq.py:340-386).
+
+    TPU-first restructure: the cross-attention K/V projections of the
+    memory tokens are hoisted OUT of the recurrence (the memory — and hence
+    its K/V — is identical across all 8 iterations; the reference recomputes
+    them every iteration, ~70% of forward FLOPs). This layer receives the
+    precomputed (k_mem, v_mem) and owns only the query/out projections.
+    The math is identical to the reference's nn.MultiheadAttention.
+    """
     dim: int
     heads: int
     ffn_dim: int
@@ -56,9 +64,10 @@ class DecoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, tgt: jnp.ndarray, memory: jnp.ndarray,
-                 query_pos: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, tgt: jnp.ndarray, k_mem: jnp.ndarray,
+                 v_mem: jnp.ndarray, query_pos: jnp.ndarray) -> jnp.ndarray:
         det = self.deterministic
+        head_dim = self.dim // self.heads
 
         def drop(x, name):
             return nn.Dropout(self.dropout_rate, deterministic=det,
@@ -72,11 +81,17 @@ class DecoderLayer(nn.Module):
             name="self_attn")(q, k, tgt)
         tgt = nn.LayerNorm(name="norm1")(tgt + drop(sa, "dropout1"))
 
-        ca = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads, qkv_features=self.dim,
-            out_features=self.dim, dropout_rate=self.dropout_rate,
-            broadcast_dropout=False, deterministic=det, dtype=self.dtype,
-            name="cross_attn")(tgt + query_pos, memory, memory)
+        # cross-attention with precomputed memory K/V
+        cq = nn.DenseGeneral((self.heads, head_dim), dtype=self.dtype,
+                             name="cross_attn_query")(tgt + query_pos)
+        rng = (None if det or self.dropout_rate == 0.0
+               else self.make_rng("dropout"))
+        attn = nn.dot_product_attention(
+            cq, k_mem.astype(cq.dtype), v_mem.astype(cq.dtype),
+            dropout_rng=rng, dropout_rate=self.dropout_rate,
+            broadcast_dropout=False, deterministic=det, dtype=self.dtype)
+        ca = nn.DenseGeneral(self.dim, axis=(-2, -1), dtype=self.dtype,
+                             name="cross_attn_out")(attn)
         tgt = nn.LayerNorm(name="norm2")(tgt + drop(ca, "dropout2"))
 
         ff = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(tgt)
@@ -102,7 +117,7 @@ class DecoderIteration(nn.Module):
 
     @nn.compact
     def __call__(self, ref_points, inputs):
-        memory_hw, camera, T_camera_local = inputs
+        memory_hw, camera, T_camera_local, k_mem, v_mem = inputs
         B, T, H, W, C = memory_hw.shape
 
         # query positional embedding (ref: :317-318)
@@ -121,12 +136,11 @@ class DecoderIteration(nn.Module):
                 memory_hw, query_metric, Pose(T_camera_local), Camera(camera),
                 self.feat_size)
 
-        memory_tokens = memory_hw.reshape(B, T * H * W, C)
         out = DecoderLayer(self.dim, self.heads, self.ffn_dim,
                            self.dropout_rate, self.deterministic,
                            dtype=self.dtype,
                            name="layer")(pix.astype(self.dtype),
-                                         memory_tokens.astype(self.dtype),
+                                         k_mem, v_mem,
                                          pos_feat.astype(self.dtype))
         out = out.astype(jnp.float32)
 
@@ -221,7 +235,18 @@ class PARQDecoder(nn.Module):
             mean_size=mean_size, deterministic=deterministic,
             use_pallas=self.use_pallas, dtype=self.dtype)
 
-        inputs = (memory_hw, camera.data, T_camera_local.data)
+        # memory K/V projected ONCE (identical across iterations; the
+        # reference recomputes them per iteration — transformer_parq.py:377)
+        Bm, Tm, Hm, Wm, Cm = memory_hw.shape
+        memory_tokens = memory_hw.reshape(Bm, Tm * Hm * Wm, Cm).astype(
+            self.dtype)
+        head_dim = self.dim // self.heads
+        k_mem = nn.DenseGeneral((self.heads, head_dim), dtype=self.dtype,
+                                name="cross_attn_key")(memory_tokens)
+        v_mem = nn.DenseGeneral((self.heads, head_dim), dtype=self.dtype,
+                                name="cross_attn_value")(memory_tokens)
+
+        inputs = (memory_hw, camera.data, T_camera_local.data, k_mem, v_mem)
         IterCls = nn.remat(DecoderIteration) if self.remat \
             else DecoderIteration
         if self.share_weights:

@@ -258,7 +258,11 @@ class Trainer:
                 enable_nms=bool(cfg.MODEL.DECODER.ENABLE_NMS),
                 for_vis=for_vis)
             if timing:
-                times.append(time.perf_counter() - t0)
+                dt = time.perf_counter() - t0
+                times.append(dt)
+                # per-snippet latency print (ref: eval.py:45-51)
+                print(f"{batch['scene_name'][0]}: inference time {dt:.4f}s "
+                      f"(running mean {np.mean(times[1:] or times):.4f}s)")
             host["scene_name"] = batch["scene_name"]
             if "obbs_padded" in dev_batch:
                 targets = parse_targets(Obb3D(dev_batch["obbs_padded"]),

@@ -65,7 +65,7 @@ def test_scan_equals_unrolled_shared_weights():
     p = params["params"]["box3d_decoder"]
     up = {k: v for k, v in params["params"].items() if k != "box3d_decoder"}
     up["box3d_decoder"] = {
-        "refpoint": p["refpoint"],
+        **{k: v for k, v in p.items() if k != "iteration"},
         "iteration_0": p["iteration"],
         "iteration_1": p["iteration"],
     }

@@ -76,25 +76,40 @@ class TorchDecoderLayer(tnn.Module):
 
 
 def test_decoder_layer_matches_torch(rng):
+    """Split cross-attention (K/V hoisted out of the layer) must equal the
+    reference's single nn.MultiheadAttention layer with converted weights."""
+    import flax.linen as nn
+    from parq_tpu.io.torch_convert import _mha_split_cross
+
     torch.manual_seed(1)
     oracle = TorchDecoderLayer().eval()
     sd = {f"l.{k}": v.detach().numpy() for k, v in oracle.state_dict().items()}
 
     tree = {}
-    _mha(tree, "l.self_attn", sd, "l/self_attn", HEADS)
-    _mha(tree, "l.multihead_attn", sd, "l/cross_attn", HEADS)
-    _linear(tree, "l.linear1", sd, "l/linear1")
-    _linear(tree, "l.linear2", sd, "l/linear2")
+    _mha(tree, "l.self_attn", sd, "dec/layer/self_attn", HEADS)
+    _mha_split_cross(tree, "l.multihead_attn", sd, layer_path="dec/layer",
+                     dec_path="dec", num_heads=HEADS)
+    _linear(tree, "l.linear1", sd, "dec/layer/linear1")
+    _linear(tree, "l.linear2", sd, "dec/layer/linear2")
     for n in ("norm1", "norm2", "norm3"):
-        _layer_norm(tree, f"l.{n}", sd, f"l/{n}")
-    params = to_jnp(tree["params"]["l"])
+        _layer_norm(tree, f"l.{n}", sd, f"dec/layer/{n}")
+    params = to_jnp(tree["params"])
 
-    layer = DecoderLayer(D, HEADS, FFN, dropout_rate=0.0, deterministic=True)
+    class Harness(nn.Module):
+        @nn.compact
+        def __call__(self, tgt, mem, pos):
+            hd = D // HEADS
+            k = nn.DenseGeneral((HEADS, hd), name="cross_attn_key")(mem)
+            v = nn.DenseGeneral((HEADS, hd), name="cross_attn_value")(mem)
+            return DecoderLayer(D, HEADS, FFN, dropout_rate=0.0,
+                                deterministic=True, name="layer")(
+                tgt, k, v, pos)
+
     tgt = rng.randn(2, 6, D).astype(np.float32)
     mem = rng.randn(2, 17, D).astype(np.float32)
     pos = rng.randn(2, 6, D).astype(np.float32)
-    got = layer.apply({"params": params}, jnp.asarray(tgt), jnp.asarray(mem),
-                      jnp.asarray(pos))
+    got = Harness().apply({"params": params["dec"]}, jnp.asarray(tgt),
+                          jnp.asarray(mem), jnp.asarray(pos))
     with torch.no_grad():
         expect = oracle(torch.from_numpy(tgt), torch.from_numpy(mem),
                         torch.from_numpy(pos))
