@@ -62,6 +62,7 @@ _C.OPTIMIZER.AUTOSCALE_LR = True
 
 # datamodule
 _C.DATAMODULE = CN()
+_C.DATAMODULE.DATASET = "scannet"   # scannet | arkitscenes | synthetic | demo
 _C.DATAMODULE.DATA_PATH = "./data/scannet/scans"
 _C.DATAMODULE.TRAIN_ANNOTATION_PATH = "./data/scannet/scan2cad_box3d_anno_view3_overlap/scannet_train_gt_roidb.pkl"
 _C.DATAMODULE.VAL_ANNOTATION_PATH = "./data/scannet/scan2cad_box3d_anno_view3_overlap/scannet_val_gt_roidb.pkl"

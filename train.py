@@ -16,7 +16,23 @@ from parq_tpu.config import get_cfg, update_config
 def build_loaders(cfg):
     from parq_tpu.data import ScanNetDataset, SnippetLoader
     dm = cfg.DATAMODULE
-    if dm.DATA_PATH == "synthetic":
+    if dm.DATASET == "arkitscenes":
+        from parq_tpu.data.arkitscenes import ARKitScenesDataset
+        train_ds = ARKitScenesDataset(
+            dm.DATA_PATH, num_frames_per_snippet=dm.NUM_FRAMES_PER_SNIPPET,
+            image_size=tuple(cfg.TPU.IMAGE_SIZE),
+            gravity_aligned=dm.GRAVITY_ALIGNED)
+        val_path = dm.VAL_ANNOTATION_PATH or dm.DATA_PATH
+        val_ds = ARKitScenesDataset(
+            val_path, num_frames_per_snippet=dm.NUM_FRAMES_PER_SNIPPET,
+            image_size=tuple(cfg.TPU.IMAGE_SIZE),
+            gravity_aligned=dm.GRAVITY_ALIGNED)
+        train_loader = SnippetLoader(train_ds, dm.BATCH_SIZE,
+                                     shuffle=dm.SHUFFLE, seed=cfg.SEED)
+        val_loader = SnippetLoader(val_ds, dm.BATCH_SIZE, shuffle=False,
+                                   drop_last=False, seed=cfg.SEED)
+        return train_loader, val_loader
+    if dm.DATA_PATH == "synthetic" or dm.DATASET == "synthetic":
         from parq_tpu.data.synthetic import SyntheticDataset
         train_ds = SyntheticDataset(
             num_snippets=dm.get("SYNTHETIC_TRAIN_SIZE", 32),
