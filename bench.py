@@ -69,10 +69,42 @@ def measure(fwd, batch, iters: int = 10, warmup: int = 3) -> float:
     return B * T * iters / dt
 
 
+def build_train(batch_size: int, dtype: str):
+    import jax
+    import dataclasses
+    from __graft_entry__ import _batch, _flagship_model
+    from parq_tpu.train import (LossConfig, create_train_state,
+                                make_jitted_train_step, make_optimizer)
+    model = _flagship_model()
+    model = dataclasses.replace(model, compute_dtype=dtype)
+    batch = _batch(model, batch_size)
+    tx = make_optimizer(lambda s: 1e-4, grad_clip=1.0)
+    state = create_train_state(model, batch, tx, jax.random.PRNGKey(0))
+    step = make_jitted_train_step(LossConfig(), donate=False)
+    key = jax.random.PRNGKey(1)
+    return step, state, batch, key
+
+
+def measure_train(step, state, batch, key, iters=5, warmup=2):
+    import jax
+    for _ in range(warmup):
+        state, m = step(state, batch, key)
+    jax.block_until_ready(m["total_loss"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, batch, key)
+    jax.block_until_ready(m["total_loss"])
+    dt = time.perf_counter() - t0
+    B, T = batch["rgb_img"].shape[:2]
+    return B * T * iters / dt
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu-ref", action="store_true",
                     help="measure the CPU baseline constant instead")
+    ap.add_argument("--train", action="store_true",
+                    help="benchmark the full train step instead of eval fwd")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--no-pallas", action="store_true")
@@ -86,6 +118,16 @@ def main():
         fwd, batch = build(args.batch, use_pallas=False)
         fps = measure(fwd, batch, iters=3, warmup=1)
         print(json.dumps({"metric": "cpu_reference_fps", "value": fps}))
+        return
+
+    if args.train:
+        step, state, batch, key = build_train(args.batch, args.dtype)
+        fps = measure_train(step, state, batch, key, iters=args.iters)
+        print(json.dumps({
+            "metric": "train_frames_per_sec_per_chip",
+            "value": round(fps, 2),
+            "unit": "frames/sec/chip",
+        }))
         return
 
     use_pallas = not args.no_pallas

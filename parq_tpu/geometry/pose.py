@@ -16,6 +16,14 @@ import jax
 import jax.numpy as jnp
 
 
+def _apply_R(R: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """R (..., 3, 3) applied to vectors v (..., 3), elementwise math."""
+    return jnp.stack([
+        R[..., i, 0] * v[..., 0] + R[..., i, 1] * v[..., 1]
+        + R[..., i, 2] * v[..., 2]
+        for i in range(3)], axis=-1)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class Pose:
@@ -88,22 +96,27 @@ class Pose:
         return Pose(self.data.astype(dtype))
 
     # -- algebra -----------------------------------------------------------
-    # NOTE: all contractions use Precision.HIGHEST — TPU default matmul
-    # precision is bf16-ish, which would truncate coordinates (a 48.4459
-    # pixel coord rounds to 48.5). Geometry matmuls are 3x3; full precision
-    # is free.
+    # NOTE: all 3x3 contractions are written as explicit elementwise math.
+    # Two reasons: (1) TPU default matmul precision is bf16-ish, which would
+    # truncate coordinates (a 48.4459 pixel coord rounds to 48.5) — explicit
+    # mul/add keeps full f32; (2) tiny matmuls over huge point tensors (the
+    # ray grid is ~22M points) lower to multi-pass MXU programs, while the
+    # elementwise form fuses into neighboring VPU ops.
     def inverse(self) -> "Pose":
         Rt = jnp.swapaxes(self.R, -1, -2)
-        t = -jnp.einsum("...ij,...j->...i", Rt, self.t,
-                        precision=jax.lax.Precision.HIGHEST)
+        t = -_apply_R(Rt, self.t)
         return Pose.from_Rt(Rt, t)
 
     def compose(self, other: "Pose") -> "Pose":
         """T_B2C.compose(T_A2B) -> T_A2C (ref: utils/wrappers.py:253-257)."""
-        R = jnp.matmul(self.R, other.R,
-                       precision=jax.lax.Precision.HIGHEST)
-        t = self.t + jnp.einsum("...ij,...j->...i", self.R, other.t,
-                                precision=jax.lax.Precision.HIGHEST)
+        A, B = self.R, other.R
+        R = jnp.stack([
+            jnp.stack([
+                A[..., i, 0] * B[..., 0, j] + A[..., i, 1] * B[..., 1, j]
+                + A[..., i, 2] * B[..., 2, j]
+                for j in range(3)], axis=-1)
+            for i in range(3)], axis=-2)
+        t = self.t + _apply_R(self.R, other.t)
         return Pose.from_Rt(R, t)
 
     def __matmul__(self, other: "Pose") -> "Pose":
@@ -112,9 +125,12 @@ class Pose:
     def transform(self, p3d: jnp.ndarray) -> jnp.ndarray:
         """Transform points (..., N, 3). Broadcasting matches the reference:
         ``p3d @ R^T + t[..., None, :]`` (ref: utils/wrappers.py:259-267)."""
-        return jnp.matmul(p3d, jnp.swapaxes(self.R, -1, -2),
-                          precision=jax.lax.Precision.HIGHEST) \
-            + self.t[..., None, :]
+        R = self.R[..., None, :, :]  # broadcast over the points axis
+        out = jnp.stack([
+            p3d[..., 0] * R[..., i, 0] + p3d[..., 1] * R[..., i, 1]
+            + p3d[..., 2] * R[..., i, 2]
+            for i in range(3)], axis=-1)
+        return out + self.t[..., None, :]
 
     def __mul__(self, p3d: jnp.ndarray) -> jnp.ndarray:
         return self.transform(p3d)

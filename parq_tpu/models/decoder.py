@@ -46,6 +46,39 @@ def denormalize_points(p: jnp.ndarray, scale: Sequence[float]) -> jnp.ndarray:
     ], axis=-1)
 
 
+def _flash_cross_attention(q: jnp.ndarray, k: jnp.ndarray,
+                           v: jnp.ndarray) -> jnp.ndarray:
+    """Flash attention over (B, L, H, D)-shaped q/k/v with KV padded to a
+    block multiple (padded keys masked via SegmentIds)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention)
+
+    B, Q, H, D = q.shape
+    N = k.shape[1]
+    BK = 512
+    n_pad = (-N) % BK
+    if n_pad:
+        k = jnp.pad(k, ((0, 0), (0, n_pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, n_pad), (0, 0), (0, 0)))
+    kv_seg = jnp.concatenate([
+        jnp.zeros((B, N), jnp.int32),
+        jnp.ones((B, n_pad), jnp.int32)], axis=1)
+    q_seg = jnp.zeros((B, Q), jnp.int32)
+
+    qt = q.transpose(0, 2, 1, 3)       # (B, H, Q, D)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    block_q = min(Q, 256)
+    bs = BlockSizes(block_q=block_q, block_k_major=BK, block_k=BK, block_b=1,
+                    block_q_major_dkv=block_q, block_k_major_dkv=BK,
+                    block_k_dkv=BK, block_q_dkv=block_q,
+                    block_k_major_dq=BK, block_k_dq=BK, block_q_dq=block_q)
+    out = flash_attention(qt, kt, vt,
+                          segment_ids=SegmentIds(q=q_seg, kv=kv_seg),
+                          sm_scale=1.0 / (D ** 0.5), block_sizes=bs)
+    return out.transpose(0, 2, 1, 3)   # (B, Q, H, D)
+
+
 class DecoderLayer(nn.Module):
     """Post-norm transformer decoder layer (ref: transformer_parq.py:340-386).
 
@@ -62,6 +95,11 @@ class DecoderLayer(nn.Module):
     dropout_rate: float
     deterministic: bool
     dtype: jnp.dtype = jnp.float32
+    # OFF by default: at this shape (256 queries x 14.4k keys) the library
+    # flash kernel is ~30% slower than XLA's materializing attention on v5e
+    # (measured round 1) and its block softmax changes numerics enough to
+    # diverge the recurrence. Revisit with a shape-tuned kernel.
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, tgt: jnp.ndarray, k_mem: jnp.ndarray,
@@ -81,15 +119,25 @@ class DecoderLayer(nn.Module):
             name="self_attn")(q, k, tgt)
         tgt = nn.LayerNorm(name="norm1")(tgt + drop(sa, "dropout1"))
 
-        # cross-attention with precomputed memory K/V
+        # cross-attention with precomputed memory K/V. Inference path uses
+        # flash attention — the XLA softmax materializes the (B,H,Q,N)
+        # logits (≈236MB at the release config) in HBM every iteration and
+        # is bandwidth-bound; flash keeps the blocks in VMEM. Training with
+        # attention dropout keeps the exact XLA semantics.
         cq = nn.DenseGeneral((self.heads, head_dim), dtype=self.dtype,
                              name="cross_attn_query")(tgt + query_pos)
-        rng = (None if det or self.dropout_rate == 0.0
-               else self.make_rng("dropout"))
-        attn = nn.dot_product_attention(
-            cq, k_mem.astype(cq.dtype), v_mem.astype(cq.dtype),
-            dropout_rng=rng, dropout_rate=self.dropout_rate,
-            broadcast_dropout=False, deterministic=det, dtype=self.dtype)
+        use_flash = (self.use_flash and (det or self.dropout_rate == 0.0)
+                     and jax.default_backend() == "tpu")
+        if use_flash:
+            attn = _flash_cross_attention(cq, k_mem.astype(cq.dtype),
+                                          v_mem.astype(cq.dtype))
+        else:
+            rng = (None if det or self.dropout_rate == 0.0
+                   else self.make_rng("dropout"))
+            attn = nn.dot_product_attention(
+                cq, k_mem.astype(cq.dtype), v_mem.astype(cq.dtype),
+                dropout_rng=rng, dropout_rate=self.dropout_rate,
+                broadcast_dropout=False, deterministic=det, dtype=self.dtype)
         ca = nn.DenseGeneral(self.dim, axis=(-2, -1), dtype=self.dtype,
                              name="cross_attn_out")(attn)
         tgt = nn.LayerNorm(name="norm2")(tgt + drop(ca, "dropout2"))
@@ -113,6 +161,7 @@ class DecoderIteration(nn.Module):
     mean_size: Tuple[Tuple[float, ...], ...]
     deterministic: bool
     use_pallas: bool = False
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -138,7 +187,7 @@ class DecoderIteration(nn.Module):
 
         out = DecoderLayer(self.dim, self.heads, self.ffn_dim,
                            self.dropout_rate, self.deterministic,
-                           dtype=self.dtype,
+                           dtype=self.dtype, use_flash=self.use_flash,
                            name="layer")(pix.astype(self.dtype),
                                          k_mem, v_mem,
                                          pos_feat.astype(self.dtype))
@@ -200,6 +249,7 @@ class PARQDecoder(nn.Module):
     mean_size: Tuple[Tuple[float, ...], ...] = ()
     share_weights: bool = True
     use_pallas: bool = False
+    use_flash: bool = False
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -233,7 +283,8 @@ class PARQDecoder(nn.Module):
             dropout_rate=self.dropout_rate, num_semcls=self.num_semcls,
             scale=tuple(self.scale), feat_size=tuple(self.feat_size),
             mean_size=mean_size, deterministic=deterministic,
-            use_pallas=self.use_pallas, dtype=self.dtype)
+            use_pallas=self.use_pallas, use_flash=self.use_flash,
+            dtype=self.dtype)
 
         # memory K/V projected ONCE (identical across iterations; the
         # reference recomputes them per iteration — transformer_parq.py:377)
