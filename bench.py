@@ -8,7 +8,7 @@ Protocol: release-config model (ResNet50-FPN 1024ch, 256 queries, 8
 shared-weight decoder iterations), 3×320×240 snippets, steady-state jitted
 forward. "frames" counts individual camera views (B × T per step), matching
 the reference's multi-view framing (BASELINE.md). Default config is the
-throughput setting (batch 8, bf16 activations, pallas sampler); use
+throughput setting (batch 8, bf16 activations, XLA sampler); use
 `--batch 1 --dtype float32 --no-pallas` for the latency/parity setting.
 
 vs_baseline: ratio against the reference's CPU throughput. The torch
@@ -108,6 +108,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--pallas", action="store_true",
+                    help="use the pallas sampler (wins only at small batch)")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     args = ap.parse_args()
@@ -130,7 +132,7 @@ def main():
         }))
         return
 
-    use_pallas = not args.no_pallas
+    use_pallas = args.pallas and not args.no_pallas
     try:
         fwd, batch = build(args.batch, use_pallas=use_pallas,
                            dtype=args.dtype)

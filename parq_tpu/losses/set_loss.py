@@ -115,11 +115,19 @@ def set_loss(
 
     class_weight = jnp.ones((num_semcls + 1,)).at[num_semcls].set(bg_cls_weight)
 
-    def one_iteration(out_l, key_l):
-        res = match_batch(out_l["pred_logits"], out_l["coord_pos"],
-                          targets.labels, targets.center, targets.valid,
-                          key_l)
-        assign = res.assign                       # (B, Q)
+    # Matching + losses for ALL (iteration, sample) pairs in ONE vmapped
+    # call: the LAP's sequential while-loops then run in lockstep across the
+    # L·B lanes instead of as L sequential chains (large win — the matcher
+    # dominates the train step otherwise).
+    LB = L * B
+    flat = {k: outputs[k].reshape((LB,) + outputs[k].shape[2:])
+            for k in ("pred_logits", "coord_pos", "center_unnormalized",
+                      "size_unnormalized", "ortho6d")}
+    tile = lambda t: jnp.tile(t, (L,) + (1,) * (t.ndim - 1))
+    targets = Targets(*(tile(f) for f in targets))
+
+    def all_pairs(out_l, res):
+        assign = res.assign                       # (LB, Q)
         matched = assign >= 0
         a = jnp.clip(assign, 0, K - 1)
 
@@ -141,15 +149,16 @@ def set_loss(
         size_loss = masked_pair_mean(s_err)
 
         # rotation with symmetry
+        nb = out_l["ortho6d"].shape[0]
         R_pred = rotation_matrix_from_ortho6d(
-            out_l["ortho6d"].reshape(B * Q, 6)).reshape(B, Q, 3, 3)
+            out_l["ortho6d"].reshape(nb * Q, 6)).reshape(nb, Q, 3, 3)
         R_tgt = jnp.take_along_axis(
             targets.rot, a[..., None, None].repeat(3, -2).repeat(3, -1),
             axis=1)
-        sym_q = jnp.take_along_axis(targets.sym, a, axis=1)  # (B, Q)
+        sym_q = jnp.take_along_axis(targets.sym, a, axis=1)  # (LB, Q)
         r_err = _rotation_loss_sym(
-            R_pred.reshape(B * Q, 3, 3), R_tgt.reshape(B * Q, 3, 3),
-            sym_q.reshape(B * Q)).reshape(B, Q)
+            R_pred.reshape(nb * Q, 3, 3), R_tgt.reshape(nb * Q, 3, 3),
+            sym_q.reshape(nb * Q)).reshape(nb, Q)
         r_err = jnp.where(matched, r_err, 0.0)
         rot_loss = jnp.sum(r_err, axis=1) / denom
 
@@ -163,7 +172,7 @@ def set_loss(
         cat_loss = (jnp.sum(ce * punish, axis=1)
                     / jnp.maximum(jnp.sum(punish, axis=1), 1.0))
 
-        has_match = mcount > 0                    # (B,)
+        has_match = mcount > 0                    # (LB,)
         w = loss_weight
         comp = {
             "center_loss": jnp.where(has_match, center_loss * w[0], 0.0),
@@ -173,19 +182,12 @@ def set_loss(
         }
         return comp, has_match
 
-    keys = jax.random.split(key, L)
-    comps = {"center_loss": 0.0, "size_loss": 0.0, "rot_loss": 0.0,
-             "cat_loss": 0.0}
-    valid_bs = 0.0
-    for l in range(L):
-        out_l = {k: v[l] for k, v in outputs.items()}
-        comp, has_match = one_iteration(out_l, keys[l])
-        for k in comps:
-            comps[k] = comps[k] + jnp.sum(comp[k])
-        valid_bs = valid_bs + jnp.sum(has_match.astype(jnp.float32))
-
+    res = match_batch(flat["pred_logits"], flat["coord_pos"],
+                      targets.labels, targets.center, targets.valid, key)
+    comp, has_match = all_pairs(flat, res)
+    valid_bs = jnp.sum(has_match.astype(jnp.float32))
     norm = jnp.maximum(valid_bs, 1.0)
-    loss_dict = {k: v / norm for k, v in comps.items()}
+    loss_dict = {k: jnp.sum(v) / norm for k, v in comp.items()}
     loss_dict["total_loss"] = sum(loss_dict.values())
     loss_dict["valid_bs"] = valid_bs
     return loss_dict

@@ -21,17 +21,23 @@ import jax.numpy as jnp
 INF = jnp.float32(1e18)
 
 
-def solve_lap(cost: jnp.ndarray) -> jnp.ndarray:
+def solve_lap(cost: jnp.ndarray, n_rows: jnp.ndarray = None) -> jnp.ndarray:
     """Exact min-cost assignment of K rows to Q columns (K <= Q).
 
     Args:
       cost: (K, Q) float32 finite costs.
+      n_rows: optional dynamic count of leading rows to assign (the rest
+        stay at −1). The augmenting-path loop is sequential, so skipping
+        padded rows is a large win on TPU (typical scenes have ≤10 boxes
+        against the static K=100 padding).
     Returns:
-      col4row: (K,) int32 — the column assigned to each row.
+      col4row: (K,) int32 — the column assigned to each row (−1 if skipped).
     """
     K, Q = cost.shape
     assert K <= Q, "solve_lap expects rows <= cols (targets <= queries)"
     cost = cost.astype(jnp.float32)
+    if n_rows is None:
+        n_rows = jnp.int32(K)
 
     def outer(cur_row, state):
         u, v, col4row, row4col = state
@@ -103,8 +109,17 @@ def solve_lap(cost: jnp.ndarray) -> jnp.ndarray:
     v0 = jnp.zeros((Q,), jnp.float32)
     col4row0 = jnp.full((K,), -1, jnp.int32)
     row4col0 = jnp.full((Q,), -1, jnp.int32)
-    _, _, col4row, _ = jax.lax.fori_loop(
-        0, K, outer, (u0, v0, col4row0, row4col0))
+
+    def w_cond(carry):
+        r, _ = carry
+        return r < n_rows
+
+    def w_body(carry):
+        r, state = carry
+        return r + 1, outer(r, state)
+
+    _, (_, _, col4row, _) = jax.lax.while_loop(
+        w_cond, w_body, (jnp.int32(0), (u0, v0, col4row0, row4col0)))
     return col4row
 
 
@@ -166,13 +181,16 @@ def match_single(
     # drops pad rows (or surplus targets no assignment could cover anyway).
     Kr = min(K, Q)
     cost_t = jnp.where(tgt_valid[:Kr, None], cost.T[:Kr], 1e4)  # (Kr, Q)
-    col4row = solve_lap(cost_t)                            # (Kr,)
+    # only iterate the sequential augmenting-path loop over VALID targets
+    # (they always precede padding); skipped rows return col4row = −1
+    n_valid = jnp.minimum(jnp.sum(tgt_valid.astype(jnp.int32)), Kr)
+    col4row = solve_lap(cost_t, n_rows=n_valid)            # (Kr,)
 
-    # scatter: query → target from the LAP
+    # scatter: query → target from the LAP (−1 rows dropped)
     hung_assign = jnp.full((Q,), -1, jnp.int32)
     scatter_tgt = jnp.where(tgt_valid[:Kr],
                             jnp.arange(Kr, dtype=jnp.int32), -1)
-    hung_assign = hung_assign.at[col4row].set(scatter_tgt)
+    hung_assign = hung_assign.at[col4row].set(scatter_tgt, mode="drop")
     # (pad rows scatter -1 onto their column, possibly clobbering nothing
     # real since each column is assigned at most once)
     is_hungarian = hung_assign >= 0
