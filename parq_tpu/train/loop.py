@@ -192,9 +192,29 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.SEED + 17)
 
         log_img_every = max(int(cfg.LOG_IMAGES_FREQUENCY), 1)
+        # OVERFIT_BATCHES / LIMIT_TRAIN_BATCHES (ref: TRAINER knobs):
+        # overfit > 0 repeats the first N batches every epoch
+        overfit = cfg.TRAINER.OVERFIT_BATCHES
+        overfit_n = (int(overfit) if overfit >= 1
+                     else int(len(train_loader) * overfit)) if overfit else 0
+        limit_train = cfg.TRAINER.LIMIT_TRAIN_BATCHES
+        limit_n = (int(limit_train) if limit_train > 1
+                   else int(len(train_loader) * limit_train))
+        overfit_cache = []
         while train_loader.epoch < cfg.TRAINER.MAX_EPOCHS:
             t0 = time.perf_counter()
-            for batch in train_loader:
+            if overfit_n and len(overfit_cache) >= overfit_n:
+                epoch_iter = list(overfit_cache)
+                train_loader.epoch += 1
+            else:
+                epoch_iter = train_loader
+            n_done = 0
+            for batch in epoch_iter:
+                if overfit_n and len(overfit_cache) < overfit_n:
+                    overfit_cache.append(batch)
+                n_done += 1
+                if n_done > limit_n > 0:
+                    break
                 t0 = self._tick("data", t0)
                 rng, sub = jax.random.split(rng)
                 dev_batch = to_device_batch(batch, self.mesh)
