@@ -298,7 +298,8 @@ class Trainer:
         if count:
             metrics["total_loss"] = total_loss / count
         if timing and times:
-            metrics["mean_latency_s"] = float(np.mean(times[1:]))
+            # drop the compile-inclusive first batch when there are more
+            metrics["mean_latency_s"] = float(np.mean(times[1:] or times))
         return metrics
 
     def _save_vis(self, batch, host, vis_dir):

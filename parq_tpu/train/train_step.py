@@ -84,6 +84,10 @@ def forward_and_loss(apply_fn, params, frozen, batch, key,
     rngs = None if deterministic else {"dropout": k_drop}
     outputs = apply_fn({"params": params, "frozen": frozen}, batch,
                        deterministic=deterministic, rngs=rngs)
+    if "obbs_padded" not in batch:
+        # no GT (demo captures) → zero loss (ref: parq_lightning.py:91-94)
+        losses = {"total_loss": jnp.zeros(())}
+        return losses, outputs
     targets = parse_targets(Obb3D(batch["obbs_padded"]),
                             Pose(batch["T_world_local"]),
                             batch.get("sym"))
