@@ -186,13 +186,15 @@ def match_single(
     n_valid = jnp.minimum(jnp.sum(tgt_valid.astype(jnp.int32)), Kr)
     col4row = solve_lap(cost_t, n_rows=n_valid)            # (Kr,)
 
-    # scatter: query → target from the LAP (−1 rows dropped)
+    # scatter: query → target from the LAP. Pad rows have col4row == −1,
+    # and jax WRAPS negative indices even under mode="drop" (−1 → Q−1,
+    # silently clobbering the last query's match) — route them to the
+    # out-of-bounds index Q, which drop mode genuinely discards.
     hung_assign = jnp.full((Q,), -1, jnp.int32)
     scatter_tgt = jnp.where(tgt_valid[:Kr],
                             jnp.arange(Kr, dtype=jnp.int32), -1)
-    hung_assign = hung_assign.at[col4row].set(scatter_tgt, mode="drop")
-    # (pad rows scatter -1 onto their column, possibly clobbering nothing
-    # real since each column is assigned at most once)
+    safe_col = jnp.where(col4row >= 0, col4row, Q)
+    hung_assign = hung_assign.at[safe_col].set(scatter_tgt, mode="drop")
     is_hungarian = hung_assign >= 0
 
     # --- proximity extension -------------------------------------------

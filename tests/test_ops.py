@@ -146,6 +146,37 @@ def test_match_single_proximity_and_punish(rng):
     assert np.all(assign[silenced] == -1)
 
 
+def test_match_single_pad_rows_do_not_clobber_last_query(rng):
+    """Regression (round-1 verdict Weak #2): pad LAP rows return
+    col4row == −1, and jax wraps −1 even under scatter mode='drop', so
+    they used to overwrite query Q−1's Hungarian match with −1. Force
+    target 0 onto the last query with pad rows present and demand the
+    match survives as a *Hungarian* match (proximity rescue would set
+    assign but leave is_hungarian False, masking the bug)."""
+    Q, K, C = 16, 10, 9
+    n_valid = 2
+    logits = np.zeros((Q, C + 1), np.float32)   # uniform class cost
+    coord = np.full((Q, 3), 5.0, np.float32)
+    coord[Q - 1] = [0.0, 0.0, 0.0]   # exact hit on target 0
+    coord[0] = [2.0, 2.0, 2.0]       # exact hit on target 1
+    labels = np.full(K, -1, np.int32)
+    labels[:n_valid] = [0, 1]
+    centers = np.full((K, 3), 99.0, np.float32)
+    centers[0] = [0.0, 0.0, 0.0]
+    centers[1] = [2.0, 2.0, 2.0]
+    valid = np.arange(K) < n_valid
+
+    res = match_single(jnp.asarray(logits), jnp.asarray(coord),
+                       jnp.asarray(labels), jnp.asarray(centers),
+                       jnp.asarray(valid), jax.random.PRNGKey(3))
+    assign = np.asarray(res.assign)
+    hung = np.asarray(res.is_hungarian)
+    assert hung[Q - 1] and assign[Q - 1] == 0, (assign[Q - 1], hung[Q - 1])
+    assert hung[0] and assign[0] == 1
+    # exactly the two valid targets carry Hungarian matches
+    assert hung.sum() == n_valid
+
+
 def test_match_single_no_targets(rng):
     Q, K, C = 8, 4, 9
     res = match_single(jnp.zeros((Q, C + 1)), jnp.zeros((Q, 3)),
