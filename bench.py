@@ -55,14 +55,28 @@ def build(batch_size: int, use_pallas: bool, dtype: str = "float32"):
     return fwd, batch
 
 
-def measure(fwd, batch, iters: int = 10, warmup: int = 3) -> float:
+def measure(fwd, batch, iters: int = 30, warmup: int = 1) -> float:
+    """Steady-state device throughput: the forward runs `iters` times
+    inside ONE jitted lax.fori_loop (per-call dispatch through the axon
+    tunnel costs ~1ms and would understate the chip). The carry sums every
+    output leaf so XLA cannot prune any part of the model."""
     import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(batch):
+        def body(i, acc):
+            out = fwd(batch)
+            s = sum(jnp.sum(leaf.astype(jnp.float32))
+                    for leaf in jax.tree_util.tree_leaves(out))
+            return acc + s
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
     for _ in range(warmup):
-        out = fwd(batch)
+        out = run(batch)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(batch)
+    out = run(batch)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     B, T = batch["rgb_img"].shape[:2]

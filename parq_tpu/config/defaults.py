@@ -119,11 +119,14 @@ _C.TPU.MESH_MODEL = 1          # model-parallel axis size (tokens/heads sharding
 _C.TPU.COMPUTE_DTYPE = "float32"   # "bfloat16" for the fast path
 _C.TPU.PARAM_DTYPE = "float32"
 _C.TPU.USE_PALLAS_SAMPLER = False  # fused sampler kernel (wins at small batch/bf16 only)
+_C.TPU.USE_FLASH_CROSS_ATTN = True  # fused cross-attn kernel (bf16 TPU path)
 _C.TPU.REMAT = False               # jax.checkpoint the decoder iteration
 _C.TPU.ASYNC_CHECKPOINTING = True
 _C.TPU.IMAGE_SIZE = [320, 240]     # static (W, H) model input
 _C.TPU.FPN_CHANNELS = 256          # per-level FPN width (concat = 4x this)
 _C.TPU.DONATE_TRAIN_STATE = True
+_C.TPU.PROFILE_STEPS = 0   # >0: jax.profiler trace of N train steps to
+                           # <workdir>/profile (view with Perfetto/XProf)
 
 
 def get_cfg() -> CN:

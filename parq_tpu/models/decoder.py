@@ -23,7 +23,6 @@ import jax.numpy as jnp
 from ..geometry import Camera, Pose, inverse_sigmoid
 from ..ops.pixel_align import pixel_aligned_features
 from ..ops.posemb import pos2posemb3d
-from .box_processor import BoxProcessor
 from .mlp import MLP2, HeadMLP
 
 
@@ -46,37 +45,22 @@ def denormalize_points(p: jnp.ndarray, scale: Sequence[float]) -> jnp.ndarray:
     ], axis=-1)
 
 
-def _flash_cross_attention(q: jnp.ndarray, k: jnp.ndarray,
-                           v: jnp.ndarray) -> jnp.ndarray:
-    """Flash attention over (B, L, H, D)-shaped q/k/v with KV padded to a
-    block multiple (padded keys masked via SegmentIds)."""
-    from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes, SegmentIds, flash_attention)
+def _xla_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                         dropout_rate: float, deterministic: bool,
+                         rng) -> jnp.ndarray:
+    """Materializing attention: q (B,H,Q,D), k/v (B,H,N,D) → (B,H,Q,D).
 
-    B, Q, H, D = q.shape
-    N = k.shape[1]
-    BK = 512
-    n_pad = (-N) % BK
-    if n_pad:
-        k = jnp.pad(k, ((0, 0), (0, n_pad), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, n_pad), (0, 0), (0, 0)))
-    kv_seg = jnp.concatenate([
-        jnp.zeros((B, N), jnp.int32),
-        jnp.ones((B, n_pad), jnp.int32)], axis=1)
-    q_seg = jnp.zeros((B, Q), jnp.int32)
-
-    qt = q.transpose(0, 2, 1, 3)       # (B, H, Q, D)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
-    block_q = min(Q, 256)
-    bs = BlockSizes(block_q=block_q, block_k_major=BK, block_k=BK, block_b=1,
-                    block_q_major_dkv=block_q, block_k_major_dkv=BK,
-                    block_k_dkv=BK, block_q_dkv=block_q,
-                    block_k_major_dq=BK, block_k_dq=BK, block_q_dq=block_q)
-    out = flash_attention(qt, kt, vt,
-                          segment_ids=SegmentIds(q=q_seg, kv=kv_seg),
-                          sm_scale=1.0 / (D ** 0.5), block_sizes=bs)
-    return out.transpose(0, 2, 1, 3)   # (B, Q, H, D)
+    Same math as flax nn.dot_product_attention (incl. its
+    broadcast_dropout=False weight-dropout semantics, which the reference's
+    nn.MultiheadAttention dropout corresponds to)."""
+    D = q.shape[-1]
+    w = jnp.einsum("bhqd,bhkd->bhqk", q / jnp.asarray(D ** 0.5, q.dtype), k)
+    w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(q.dtype)
+    if not deterministic and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, w.shape)
+        w = w * keep.astype(w.dtype) / jnp.asarray(1.0 - dropout_rate,
+                                                   w.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", w, v)
 
 
 class DecoderLayer(nn.Module):
@@ -95,11 +79,13 @@ class DecoderLayer(nn.Module):
     dropout_rate: float
     deterministic: bool
     dtype: jnp.dtype = jnp.float32
-    # OFF by default: at this shape (256 queries x 14.4k keys) the library
-    # flash kernel is ~30% slower than XLA's materializing attention on v5e
-    # (measured round 1) and its block softmax changes numerics enough to
-    # diverge the recurrence. Revisit with a shape-tuned kernel.
+    # When True the caller guarantees: TPU backend, deterministic-or-no-
+    # dropout, bf16, MXU-aligned shapes, AND k_mem arriving pre-transposed
+    # (B,H,D,Np) + v_mem pre-padded (B,H,Np,D) with kv_valid true tokens.
+    # The gate + layout prep live in PARQDecoder so the 59MB K/V relayout
+    # happens once per forward, not once per iteration.
     use_flash: bool = False
+    kv_valid: Optional[int] = None
 
     @nn.compact
     def __call__(self, tgt: jnp.ndarray, k_mem: jnp.ndarray,
@@ -119,27 +105,27 @@ class DecoderLayer(nn.Module):
             name="self_attn")(q, k, tgt)
         tgt = nn.LayerNorm(name="norm1")(tgt + drop(sa, "dropout1"))
 
-        # cross-attention with precomputed memory K/V. Inference path uses
-        # flash attention — the XLA softmax materializes the (B,H,Q,N)
-        # logits (≈236MB at the release config) in HBM every iteration and
-        # is bandwidth-bound; flash keeps the blocks in VMEM. Training with
-        # attention dropout keeps the exact XLA semantics.
+        # cross-attention with precomputed memory K/V (projected + laid out
+        # ONCE in PARQDecoder). bf16 inference runs the fused Pallas kernel
+        # (kernels/cross_attention_pallas.py — no HBM logits); training-
+        # with-dropout and f32 parity runs keep the exact materializing
+        # softmax.
         cq = nn.DenseGeneral((self.heads, head_dim), dtype=self.dtype,
                              name="cross_attn_query")(tgt + query_pos)
-        use_flash = (self.use_flash and (det or self.dropout_rate == 0.0)
-                     and jax.default_backend() == "tpu")
-        if use_flash:
-            attn = _flash_cross_attention(cq, k_mem.astype(cq.dtype),
-                                          v_mem.astype(cq.dtype))
+        cq_h = cq.transpose(0, 2, 1, 3)               # (B, H, Q, D)
+        if self.use_flash:
+            from ..kernels.cross_attention_pallas import flash_cross_attention
+            attn = flash_cross_attention(
+                cq_h, k_mem.astype(cq.dtype), v_mem.astype(cq.dtype),
+                k_transposed=True, n_valid=self.kv_valid)
         else:
             rng = (None if det or self.dropout_rate == 0.0
                    else self.make_rng("dropout"))
-            attn = nn.dot_product_attention(
-                cq, k_mem.astype(cq.dtype), v_mem.astype(cq.dtype),
-                dropout_rng=rng, dropout_rate=self.dropout_rate,
-                broadcast_dropout=False, deterministic=det, dtype=self.dtype)
+            attn = _xla_cross_attention(
+                cq_h, k_mem.astype(cq.dtype), v_mem.astype(cq.dtype),
+                self.dropout_rate, det, rng)
         ca = nn.DenseGeneral(self.dim, axis=(-2, -1), dtype=self.dtype,
-                             name="cross_attn_out")(attn)
+                             name="cross_attn_out")(attn.transpose(0, 2, 1, 3))
         tgt = nn.LayerNorm(name="norm2")(tgt + drop(ca, "dropout2"))
 
         ff = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(tgt)
@@ -161,7 +147,8 @@ class DecoderIteration(nn.Module):
     mean_size: Tuple[Tuple[float, ...], ...]
     deterministic: bool
     use_pallas: bool = False
-    use_flash: bool = False
+    use_flash: bool = False   # resolved by PARQDecoder (gate + layout prep)
+    kv_valid: Optional[int] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -188,6 +175,7 @@ class DecoderIteration(nn.Module):
         out = DecoderLayer(self.dim, self.heads, self.ffn_dim,
                            self.dropout_rate, self.deterministic,
                            dtype=self.dtype, use_flash=self.use_flash,
+                           kv_valid=self.kv_valid,
                            name="layer")(pix.astype(self.dtype),
                                          k_mem, v_mem,
                                          pos_feat.astype(self.dtype))
@@ -249,7 +237,7 @@ class PARQDecoder(nn.Module):
     mean_size: Tuple[Tuple[float, ...], ...] = ()
     share_weights: bool = True
     use_pallas: bool = False
-    use_flash: bool = False
+    use_flash: bool = True
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -278,24 +266,45 @@ class PARQDecoder(nn.Module):
         mean_size = self.mean_size or tuple(
             tuple(r) for r in [[1.0] * 3] * (self.num_semcls + 1))
 
-        iter_kwargs = dict(
-            dim=self.dim, heads=self.heads, ffn_dim=self.ffn_dim,
-            dropout_rate=self.dropout_rate, num_semcls=self.num_semcls,
-            scale=tuple(self.scale), feat_size=tuple(self.feat_size),
-            mean_size=mean_size, deterministic=deterministic,
-            use_pallas=self.use_pallas, use_flash=self.use_flash,
-            dtype=self.dtype)
-
         # memory K/V projected ONCE (identical across iterations; the
-        # reference recomputes them per iteration — transformer_parq.py:377)
+        # reference recomputes them per iteration — transformer_parq.py:377).
+        # On the fused-kernel path K is additionally stored pre-transposed
+        # (B,H,D,Np) and K/V pre-padded to the kernel block multiple — all
+        # per-iteration relayout of the ~59MB K/V costs more than the
+        # kernel saves (measured: 2.2ms/call of swapaxes+pad overhead).
         Bm, Tm, Hm, Wm, Cm = memory_hw.shape
-        memory_tokens = memory_hw.reshape(Bm, Tm * Hm * Wm, Cm).astype(
-            self.dtype)
+        N = Tm * Hm * Wm
+        memory_tokens = memory_hw.reshape(Bm, N, Cm).astype(self.dtype)
         head_dim = self.dim // self.heads
         k_mem = nn.DenseGeneral((self.heads, head_dim), dtype=self.dtype,
                                 name="cross_attn_key")(memory_tokens)
         v_mem = nn.DenseGeneral((self.heads, head_dim), dtype=self.dtype,
                                 name="cross_attn_value")(memory_tokens)
+        v_mem = v_mem.transpose(0, 2, 1, 3)   # (B, H, N, D)
+
+        # static gate for the fused cross-attention kernel (bf16 TPU
+        # inference; f32 keeps the exact XLA softmax for parity runs)
+        flash = (self.use_flash
+                 and (deterministic or self.dropout_rate == 0.0)
+                 and jax.default_backend() == "tpu"
+                 and self.dtype == jnp.bfloat16
+                 and head_dim % 128 == 0 and self.num_queries % 8 == 0)
+        kv_valid = None
+        if flash:
+            from ..kernels.cross_attention_pallas import pad_kv_for_flash
+            k_mem = k_mem.transpose(0, 2, 3, 1)   # (B, H, D, N)
+            k_mem, v_mem = pad_kv_for_flash(k_mem, v_mem)
+            kv_valid = N
+        else:
+            k_mem = k_mem.transpose(0, 2, 1, 3)   # (B, H, N, D)
+
+        iter_kwargs = dict(
+            dim=self.dim, heads=self.heads, ffn_dim=self.ffn_dim,
+            dropout_rate=self.dropout_rate, num_semcls=self.num_semcls,
+            scale=tuple(self.scale), feat_size=tuple(self.feat_size),
+            mean_size=mean_size, deterministic=deterministic,
+            use_pallas=self.use_pallas, use_flash=flash, kv_valid=kv_valid,
+            dtype=self.dtype)
 
         inputs = (memory_hw, camera.data, T_camera_local.data, k_mem, v_mem)
         IterCls = nn.remat(DecoderIteration) if self.remat \

@@ -41,6 +41,7 @@ class PARQModel(nn.Module):
     image_size: Tuple[int, int] = (320, 240)  # (W, H)
     mean_size: Tuple[Tuple[float, ...], ...] = ()
     use_pallas: bool = False
+    use_flash: bool = True   # fused cross-attn kernel (bf16 TPU path only)
     remat: bool = False
     compute_dtype: str = "float32"   # "bfloat16" for the fast path
 
@@ -74,6 +75,7 @@ class PARQModel(nn.Module):
             image_size=tuple(cfg.TPU.IMAGE_SIZE),
             mean_size=tuple(tuple(float(v) for v in row) for row in mean),
             use_pallas=use_pallas,
+            use_flash=bool(getattr(cfg.TPU, "USE_FLASH_CROSS_ATTN", True)),
             remat=bool(cfg.TPU.REMAT),
             compute_dtype=compute_dtype,
         )
@@ -112,6 +114,10 @@ class PARQModel(nn.Module):
             T_world_local)
 
         memory = feats + encoding  # (B,T,h,w,C); tokenization = reshape
+        # exposed for TB feature-map logging (ref logs PCA-compressed maps,
+        # parq_lightning.py:252-276); recorded only when the caller asks for
+        # mutable=["intermediates"], free otherwise
+        self.sow("intermediates", "feature_map", memory)
 
         outputs = PARQDecoder(
             dim=self.dec_dim, heads=self.dec_heads, ffn_dim=self.dec_ffn_dim,
@@ -119,7 +125,8 @@ class PARQModel(nn.Module):
             num_queries=self.num_queries, num_semcls=self.num_semcls,
             scale=tuple(self.scale), feat_size=self.feat_size,
             mean_size=self.mean_size, share_weights=self.share_weights,
-            use_pallas=self.use_pallas, remat=self.remat, dtype=dtype,
+            use_pallas=self.use_pallas, use_flash=self.use_flash,
+            remat=self.remat, dtype=dtype,
             name="box3d_decoder")(
             memory, camera_feature, T_camera_pseudoCam, T_world_pseudoCam,
             T_world_local, deterministic=deterministic)

@@ -1,4 +1,4 @@
-"""Pallas fused sampling kernel vs the XLA reference implementation
+"""Pallas fused kernels vs XLA reference implementations
 (interpret mode on CPU; the same code compiles on TPU)."""
 import numpy as np
 import jax
@@ -6,6 +6,8 @@ import jax.numpy as jnp
 
 from parq_tpu.geometry import Camera, Pose
 from parq_tpu.kernels import pixel_aligned_features_pallas
+from parq_tpu.kernels.cross_attention_pallas import (
+    cross_attention_reference, flash_cross_attention)
 from parq_tpu.ops.pixel_align import pixel_aligned_features
 
 
@@ -34,8 +36,11 @@ def setup(rng, B=2, T=3, H=6, W=8, C=128, Q=16):
 def test_pallas_matches_xla_reference(rng):
     feats, q, Tcl, cam, fs = setup(rng)
     ref, ref_im, ref_valid = pixel_aligned_features(feats, q, Tcl, cam, fs)
+    # force=True: without it the f32 inputs delegate straight to the XLA
+    # reference and the test is vacuous (round-1 gap)
     got, got_im, got_valid = pixel_aligned_features_pallas(feats, q, Tcl,
-                                                           cam, fs)
+                                                           cam, fs,
+                                                           force=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
     np.testing.assert_allclose(np.asarray(got_im), np.asarray(ref_im),
                                atol=1e-5)
@@ -47,7 +52,8 @@ def test_pallas_gradients_match_reference(rng):
     feats, q, Tcl, cam, fs = setup(rng, B=1, T=2, H=4, W=8, C=32, Q=8)
 
     def loss_pallas(feats, q):
-        out, _, _ = pixel_aligned_features_pallas(feats, q, Tcl, cam, fs)
+        out, _, _ = pixel_aligned_features_pallas(feats, q, Tcl, cam, fs,
+                                                  force=True)
         return jnp.sum(out ** 2)
 
     def loss_ref(feats, q):
@@ -60,10 +66,57 @@ def test_pallas_gradients_match_reference(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+def test_flash_cross_attention_matches_reference(rng):
+    """Online-softmax kernel == exact softmax, incl. a KV length that is
+    NOT a block multiple (exercises the pad masking)."""
+    B, H, Q, D, N = 2, 2, 16, 128, 300
+    q = rng.randn(B, H, Q, D).astype(np.float32)
+    k = rng.randn(B, H, N, D).astype(np.float32) * 0.3
+    v = rng.randn(B, H, N, D).astype(np.float32)
+    got = flash_cross_attention(jnp.asarray(q), jnp.asarray(k),
+                                jnp.asarray(v), block_k=128, interpret=True)
+    want = cross_attention_reference(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_cross_attention_matches_flax(rng):
+    """Kernel output == flax nn.dot_product_attention (the round-1 decoder
+    path) on the same q/k/v, deterministic."""
+    import flax.linen as nn
+    B, H, Q, D, N = 1, 2, 8, 128, 256
+    q = rng.randn(B, Q, H, D).astype(np.float32)
+    k = rng.randn(B, N, H, D).astype(np.float32) * 0.2
+    v = rng.randn(B, N, H, D).astype(np.float32)
+    want = nn.dot_product_attention(jnp.asarray(q), jnp.asarray(k),
+                                    jnp.asarray(v), deterministic=True)
+    got = flash_cross_attention(
+        jnp.asarray(q).transpose(0, 2, 1, 3),
+        jnp.asarray(k).transpose(0, 2, 1, 3),
+        jnp.asarray(v).transpose(0, 2, 1, 3),
+        block_k=128, interpret=True).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_flash_cross_attention_bf16(rng):
+    """bf16 inputs (the production dtype) stay close to the f32 oracle."""
+    B, H, Q, D, N = 1, 1, 8, 128, 384
+    q = rng.randn(B, H, Q, D).astype(np.float32)
+    k = rng.randn(B, H, N, D).astype(np.float32) * 0.3
+    v = rng.randn(B, H, N, D).astype(np.float32)
+    got = flash_cross_attention(
+        jnp.asarray(q, jnp.bfloat16), jnp.asarray(k, jnp.bfloat16),
+        jnp.asarray(v, jnp.bfloat16), block_k=128, interpret=True)
+    want = cross_attention_reference(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), atol=3e-2)
+
+
 def test_pallas_all_invalid_queries(rng):
     feats, q, Tcl, cam, fs = setup(rng, B=1, T=2, H=4, W=8, C=32, Q=4)
     q_behind = q.at[..., 2].set(-5.0)  # all behind camera
     got, _, valid = pixel_aligned_features_pallas(feats, q_behind, Tcl, cam,
-                                                  fs)
+                                                   fs, force=True)
     assert not bool(jnp.any(valid))
     np.testing.assert_allclose(np.asarray(got), 0.0, atol=1e-6)

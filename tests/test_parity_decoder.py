@@ -101,9 +101,10 @@ def test_decoder_layer_matches_torch(rng):
             hd = D // HEADS
             k = nn.DenseGeneral((HEADS, hd), name="cross_attn_key")(mem)
             v = nn.DenseGeneral((HEADS, hd), name="cross_attn_value")(mem)
+            # head-major (B,H,N,D) interchange, as PARQDecoder now feeds it
             return DecoderLayer(D, HEADS, FFN, dropout_rate=0.0,
                                 deterministic=True, name="layer")(
-                tgt, k, v, pos)
+                tgt, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3), pos)
 
     tgt = rng.randn(2, 6, D).astype(np.float32)
     mem = rng.randn(2, 17, D).astype(np.float32)
