@@ -135,19 +135,16 @@ def _head_mlp(tree, prefix_t, sd, path_f, num_hidden: int):
                      f"{path_f}/Dense_{d}")
 
 
-def convert_parq_checkpoint(sd: Mapping[str, np.ndarray],
-                            num_heads: int = 4,
-                            share_weights: bool = True) -> dict:
-    """Full parq_release.ckpt state_dict → flax variables dict."""
-    tree: dict = {}
-
-    # ---- backbone: resnet body -------------------------------------------
-    body_t = "backbone2d.resnet_fpn.body"
-    body_f = "backbone2d/body"
-    _conv2d(tree, f"{body_t}.conv1", sd, f"{body_f}/conv1")
-    _frozen_bn(tree, f"{body_t}.bn1", sd, f"{body_f}/bn1")
+def _convert_resnet_body(tree: dict, sd: Mapping[str, np.ndarray],
+                         body_t: str, body_f: str):
+    """ResNet body (conv1/bn1 + bottleneck layers) → backbone2d/body.
+    `body_t` is the torch key prefix; empty string for a bare torchvision
+    state_dict (keys like ``conv1.weight``)."""
+    dot = f"{body_t}." if body_t else ""
+    _conv2d(tree, f"{dot}conv1", sd, f"{body_f}/conv1")
+    _frozen_bn(tree, f"{dot}bn1", sd, f"{body_f}/bn1")
     block_re = re.compile(
-        rf"^{re.escape(body_t)}\.layer(\d+)\.(\d+)\.(.+?)\.(weight|bias|running_mean|running_var)$")
+        rf"^{re.escape(dot)}layer(\d+)\.(\d+)\.(.+?)\.(weight|bias|running_mean|running_var)$")
     seen_blocks = set()
     for key in sd:
         m = block_re.match(key)
@@ -157,7 +154,7 @@ def convert_parq_checkpoint(sd: Mapping[str, np.ndarray],
         if (L, B) in seen_blocks:
             continue
         seen_blocks.add((L, B))
-        pt = f"{body_t}.layer{L}.{B}"
+        pt = f"{dot}layer{L}.{B}"
         pf = f"{body_f}/layer{L}_{B}"
         for k in (1, 2, 3):
             if f"{pt}.conv{k}.weight" in sd:
@@ -167,18 +164,59 @@ def convert_parq_checkpoint(sd: Mapping[str, np.ndarray],
             _conv2d(tree, f"{pt}.downsample.0", sd, f"{pf}/downsample_conv")
             _frozen_bn(tree, f"{pt}.downsample.1", sd, f"{pf}/downsample_bn")
 
-    # ---- backbone: fpn ----------------------------------------------------
-    fpn_t = "backbone2d.resnet_fpn.fpn"
+
+def _convert_fpn(tree: dict, sd: Mapping[str, np.ndarray],
+                 fpn_t: str, fpn_f: str):
     for i in range(4):
         # torchvision key layouts vary: inner_blocks.{i} or inner_blocks.{i}.0
         for cand in (f"{fpn_t}.inner_blocks.{i}", f"{fpn_t}.inner_blocks.{i}.0"):
             if f"{cand}.weight" in sd:
-                _conv2d(tree, cand, sd, f"backbone2d/fpn/inner_{i}")
+                _conv2d(tree, cand, sd, f"{fpn_f}/inner_{i}")
                 break
         for cand in (f"{fpn_t}.layer_blocks.{i}", f"{fpn_t}.layer_blocks.{i}.0"):
             if f"{cand}.weight" in sd:
-                _conv2d(tree, cand, sd, f"backbone2d/fpn/layer_{i}")
+                _conv2d(tree, cand, sd, f"{fpn_f}/layer_{i}")
                 break
+
+
+def convert_backbone2d(sd: Mapping[str, np.ndarray],
+                       body_t: str = "backbone2d.resnet_fpn.body",
+                       fpn_t: str = "backbone2d.resnet_fpn.fpn") -> dict:
+    """Backbone-only conversion (body + FPN) — used by the backbone parity
+    oracle tests and reusable for partial checkpoints."""
+    tree: dict = {}
+    _convert_resnet_body(tree, sd, body_t, "backbone2d/body")
+    _convert_fpn(tree, sd, fpn_t, "backbone2d/fpn")
+    return tree
+
+
+def convert_torchvision_resnet(sd: Mapping[str, np.ndarray]) -> dict:
+    """Bare torchvision ``resnet50(pretrained=True)`` ImageNet state_dict →
+    backbone body variables only (FPN and everything else keep their init —
+    exactly what ``resnet_fpn_backbone(pretrained=True)`` gives the
+    reference at train start, ref: model/resnet_fpn.py:39-41). Use with
+    PRETRAINED_PATH to reproduce the reference's warm-start recipe."""
+    tree: dict = {}
+    _convert_resnet_body(tree, sd, "", "backbone2d/body")
+    return tree
+
+
+def is_torchvision_resnet_sd(sd: Mapping[str, np.ndarray]) -> bool:
+    return "conv1.weight" in sd and "layer1.0.conv1.weight" in sd
+
+
+def convert_parq_checkpoint(sd: Mapping[str, np.ndarray],
+                            num_heads: int = 4,
+                            share_weights: bool = True) -> dict:
+    """Full parq_release.ckpt state_dict → flax variables dict."""
+    tree: dict = {}
+
+    # ---- backbone: resnet body -------------------------------------------
+    _convert_resnet_body(tree, sd, "backbone2d.resnet_fpn.body",
+                         "backbone2d/body")
+
+    # ---- backbone: fpn ----------------------------------------------------
+    _convert_fpn(tree, sd, "backbone2d.resnet_fpn.fpn", "backbone2d/fpn")
 
     # ---- ray PE -----------------------------------------------------------
     _linear(tree, "add_ray_pe.encoder.0", sd, "add_ray_pe/encoder/Dense_0")

@@ -142,6 +142,20 @@ class ResNet(nn.Module):
         return feats
 
 
+def torch_nearest_resize(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """torch F.interpolate(mode='nearest') semantics on NHWC:
+    src = floor(dst * in/out). jax.image.resize('nearest') rounds at
+    half-pixel centers instead — a different pixel at non-integer scales
+    (e.g. the FPN's c5 8x10 → c4 15x20 at the release resolution), which
+    silently broke checkpoint parity in round 1."""
+    ih, iw = x.shape[1:3]
+    if (ih, iw) == (h, w):
+        return x
+    idx_h = jnp.floor(jnp.arange(h) * (ih / h)).astype(jnp.int32)
+    idx_w = jnp.floor(jnp.arange(w) * (iw / w)).astype(jnp.int32)
+    return x[:, idx_h][:, :, idx_w]
+
+
 class FPN(nn.Module):
     """torchvision FeaturePyramidNetwork: 1x1 laterals → top-down nearest
     upsample + add → 3x3 smoothing convs; 256 channels."""
@@ -155,15 +169,13 @@ class FPN(nn.Module):
                     dtype=self.dtype, name=f"inner_{i}")(f)
             for i, f in enumerate(feats)
         ]
-        # top-down pathway (nearest upsample, torchvision F.interpolate default)
+        # top-down pathway (nearest upsample, exact torch convention)
         outs = [None] * len(laterals)
         prev = laterals[-1]
         outs[-1] = prev
         for i in range(len(laterals) - 2, -1, -1):
             h, w = laterals[i].shape[1:3]
-            up = jax.image.resize(prev, prev.shape[:1] + (h, w) + prev.shape[3:],
-                                  method="nearest")
-            prev = laterals[i] + up
+            prev = laterals[i] + torch_nearest_resize(prev, h, w)
             outs[i] = prev
         return [
             nn.Conv(self.out_channels, (3, 3), padding=[(1, 1), (1, 1)],

@@ -62,27 +62,76 @@ def restore_state(mgr: ocp.CheckpointManager, state, step: Optional[int] = None)
 
 
 def load_pretrained(state, path: str, num_heads: int = 4,
-                    share_weights: bool = True):
-    """Warm start weights only (ref: train.py:59-66, strict=False semantics):
-    accepts either an orbax dir or a torch .ckpt via the converter. Keys
-    present in the checkpoint override; missing keys keep their init."""
+                    share_weights: bool = True, strict: bool = False):
+    """Load weights into a TrainState.
+
+    strict=False (default): warm-start semantics (ref: train.py:59-66) —
+    keys present in the checkpoint override, missing keys keep their init,
+    extra checkpoint keys are ignored.
+
+    strict=True: eval semantics (ref: eval.py:28-31 load_state_dict
+    strict=True) — every model key must be present in the checkpoint and
+    vice versa, so a typo'd layer name fails loudly instead of silently
+    evaluating random init.
+    """
     if path.endswith((".ckpt", ".pt", ".pth")):
-        from ..io.torch_convert import load_parq_checkpoint
-        tree = load_parq_checkpoint(path, num_heads=num_heads,
-                                    share_weights=share_weights)
-        params = _merge(state.params, tree.get("params", {}))
-        frozen = _merge(state.frozen, tree.get("frozen", {}))
-        return state.replace(params=params, frozen=frozen)
-    ckpt = ocp.StandardCheckpointer()
-    restored = ckpt.restore(os.path.abspath(path))
-    params = _merge(state.params, restored.get("params", restored))
-    frozen = _merge(state.frozen, restored.get("frozen", state.frozen))
+        from ..io.torch_convert import (convert_parq_checkpoint,
+                                        convert_torchvision_resnet,
+                                        is_torchvision_resnet_sd,
+                                        load_torch_state_dict)
+        sd = load_torch_state_dict(path)
+        if any(k.startswith("backbone2d.") for k in sd):
+            tree = convert_parq_checkpoint(sd, num_heads=num_heads,
+                                           share_weights=share_weights)
+        elif is_torchvision_resnet_sd(sd):
+            # bare ImageNet resnet50 → backbone warm start (the reference's
+            # actual training recipe, ref: model/resnet_fpn.py:39-41)
+            if strict:
+                raise ValueError(
+                    "a torchvision ImageNet state_dict only covers the "
+                    "backbone body; it cannot satisfy a strict load")
+            tree = convert_torchvision_resnet(sd)
+        else:
+            raise ValueError(
+                f"unrecognized torch checkpoint layout in {path}: keys "
+                f"like {sorted(sd)[:3]}")
+        src_params, src_frozen = tree.get("params", {}), tree.get("frozen", {})
+    else:
+        ckpt = ocp.StandardCheckpointer()
+        restored = ckpt.restore(os.path.abspath(path))
+        src_params = restored.get("params", restored)
+        src_frozen = restored.get("frozen", {})
+    if strict:
+        probs = (_strict_diff(state.params, src_params, "params")
+                 + _strict_diff(state.frozen, src_frozen, "frozen"))
+        if probs:
+            raise ValueError(
+                f"strict checkpoint load of {path} failed "
+                f"({len(probs)} problems):\n  " + "\n  ".join(probs[:50]))
+    params = _merge(state.params, src_params)
+    frozen = _merge(state.frozen, src_frozen)
     return state.replace(params=params, frozen=frozen)
+
+
+def _flat_keys(tree, prefix=""):
+    if not isinstance(tree, dict):
+        return {prefix}
+    out = set()
+    for k, v in tree.items():
+        out |= _flat_keys(v, f"{prefix}/{k}" if prefix else str(k))
+    return out
+
+
+def _strict_diff(dst, src, label: str):
+    """Missing/unexpected key report for a strict load (empty = OK)."""
+    want, have = _flat_keys(dst), _flat_keys(src or {})
+    return ([f"missing in checkpoint: {label}/{k}" for k in sorted(want - have)]
+            + [f"unexpected in checkpoint: {label}/{k}"
+               for k in sorted(have - want)])
 
 
 def _merge(dst, src):
     """Recursively overlay src onto dst (strict=False load)."""
-    import numpy as np
     import jax.numpy as jnp
     if not isinstance(dst, dict):
         return jnp.asarray(src) if src is not None else dst
