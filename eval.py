@@ -18,7 +18,11 @@ def main():
     parser = argparse.ArgumentParser(description="TPU-native PARQ eval")
     parser.add_argument("--cfg", required=True)
     parser.add_argument("--CHECKPOINT_PATH", type=str, default=None)
-    parser.add_argument("--DEMO", type=bool, default=False)
+    # reference wart NOT replicated: `type=bool` makes `--DEMO False`
+    # truthy (ref eval.py:84). Accept bare `--DEMO` and `--DEMO True/False`.
+    parser.add_argument("--DEMO", nargs="?", const=True, default=False,
+                        type=lambda s: str(s).lower() in
+                        ("1", "true", "yes", "y"))
     parser.add_argument("opts", nargs=argparse.REMAINDER)
     args = parser.parse_args()
 
@@ -59,7 +63,8 @@ def main():
         trainer.state = load_pretrained(
             trainer.state, cfg.CHECKPOINT_PATH,
             num_heads=cfg.MODEL.DECODER.TRANSFORMER.DEC_HEADS,
-            share_weights=cfg.MODEL.DECODER.TRANSFORMER.SHARE_WEIGHTS)
+            share_weights=cfg.MODEL.DECODER.TRANSFORMER.SHARE_WEIGHTS,
+            strict=True)  # eval loads strict (ref: eval.py:28-31)
         logging.info("loaded checkpoint %s", cfg.CHECKPOINT_PATH)
 
     for_vis = bool(cfg.MODEL.DECODER.FOR_VIS)

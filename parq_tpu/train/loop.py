@@ -35,6 +35,22 @@ DEVICE_KEYS = ("rgb_img", "camera", "T_camera_pseudoCam", "T_world_pseudoCam",
                "T_world_local", "obbs_padded", "sym")
 
 
+class _NullWriter:
+    """No-op TensorBoard writer for non-zero ranks."""
+
+    def add_scalar(self, *a, **k):
+        pass
+
+    def add_image(self, *a, **k):
+        pass
+
+    def flush(self):
+        pass
+
+    def close(self):
+        pass
+
+
 def to_device_batch(batch: Dict, mesh=None) -> Dict:
     out = {k: jnp.asarray(batch[k]) for k in DEVICE_KEYS if k in batch}
     if mesh is not None:
@@ -72,6 +88,7 @@ class Trainer:
             async_save=bool(cfg.TPU.ASYNC_CHECKPOINTING))
 
         self._writer = None
+        self._log_step_fn = None
         self.state = None
         self.global_step = 0
         # 'simple' profiler: per-phase wall time (ref TRAINER.PROFILER)
@@ -82,8 +99,14 @@ class Trainer:
     @property
     def writer(self):
         if self._writer is None:
-            from tensorboardX import SummaryWriter
-            self._writer = SummaryWriter(os.path.join(self.workdir, "tb"))
+            from ..parallel.multihost import is_main_process
+            if is_main_process():
+                from tensorboardX import SummaryWriter
+                self._writer = SummaryWriter(os.path.join(self.workdir, "tb"))
+            else:
+                # non-zero ranks don't write TB (ref: Lightning logs on
+                # rank 0 only; orbax saves stay collective on all ranks)
+                self._writer = _NullWriter()
         return self._writer
 
     def log_scalars(self, metrics: Dict, step: int, stage: str):
@@ -93,8 +116,21 @@ class Trainer:
             except (TypeError, ValueError):
                 pass
 
-    def log_images(self, batch: Dict, outputs: Dict, stage: str):
-        """Wireframe prediction/GT overlays + PCA feature maps to TB
+    def _logging_step(self):
+        """Jitted eval forward that also returns the backbone+rayPE feature
+        map (sown in PARQModel) for PCA image logging."""
+        if self._log_step_fn is None:
+            def f(state, batch):
+                out, mut = state.apply_fn(
+                    {"params": state.params, "frozen": state.frozen}, batch,
+                    deterministic=True, mutable=["intermediates"])
+                return out, mut["intermediates"]["feature_map"][0]
+            self._log_step_fn = jax.jit(f)
+        return self._log_step_fn
+
+    def log_images(self, batch: Dict, outputs: Dict, stage: str,
+                   feature_map=None):
+        """Wireframe prediction AND GT overlays + PCA feature maps to TB
         (ref: parq_lightning.py:228-293, LOG_IMAGES_FREQUENCY)."""
         if not self.cfg.LOG_IMAGES:
             return
@@ -108,6 +144,20 @@ class Trainer:
             img = self._render_boxes(batch, host)
             self.writer.add_image(f"{stage}/rgb_imgwithbox",
                                   img.transpose(2, 0, 1), self.global_step)
+            if "obbs_padded" in batch:
+                gt_img = self._render_gt_boxes(batch)
+                self.writer.add_image(f"{stage}/gt_imgwithbox",
+                                      gt_img.transpose(2, 0, 1),
+                                      self.global_step)
+            if feature_map is not None:
+                from ..utils.vis import normalize_img, pca_compress
+                fm = np.asarray(feature_map[0], np.float32)   # (T, h, w, C)
+                pca = np.concatenate(
+                    [normalize_img(pca_compress(fm[t]))
+                     for t in range(fm.shape[0])], axis=0)
+                self.writer.add_image(f"{stage}/feature_map",
+                                      pca.transpose(2, 0, 1),
+                                      self.global_step)
         except Exception as e:  # vis is best-effort (no cv2, etc.)
             logger.debug("image logging skipped: %s", e)
 
@@ -126,6 +176,25 @@ class Trainer:
             np.asarray(batch["T_camera_pseudoCam"])[b],
             host["labels"][b], self.cfg.MODEL.DECODER.NUM_SEMCLS,
             mask=host["pred_mask"][b])
+        return normalize_img(img)
+
+    def _render_gt_boxes(self, batch):
+        """GT wireframe overlay (ref: parq_lightning.py:243-251 logs GT next
+        to predictions). GT obbs carry world-frame poses directly."""
+        from ..data.transforms import pose12_inverse
+        from ..utils.vis import draw_detections, normalize_img
+        b = 0
+        obb = Obb3D(jnp.asarray(batch["obbs_padded"])[b])
+        valid = np.asarray(obb.valid_mask())
+        labels = np.where(valid,
+                          np.asarray(obb.sem_id[..., 0]).astype(np.int64), -1)
+        img = draw_detections(
+            np.asarray(batch["rgb_img"])[b], np.asarray(batch["camera"])[b],
+            np.asarray(obb.corners_object),
+            np.asarray(obb.T_world_object.data),
+            pose12_inverse(np.asarray(batch["T_world_pseudoCam"])[b]),
+            np.asarray(batch["T_camera_pseudoCam"])[b],
+            labels, self.cfg.MODEL.DECODER.NUM_SEMCLS, mask=valid)
         return normalize_img(img)
 
     def _tick(self, phase: str, t0: float) -> float:
@@ -175,6 +244,19 @@ class Trainer:
         logger.info("resumed at step %d", self.global_step)
         return True
 
+    def restore_best(self) -> bool:
+        """Reload the best-0.5_f1 checkpoint (for the post-fit final
+        test/validate — ref: train.py:129-142 reloads best ckpt)."""
+        try:
+            best = self.ckpt_mgr.best_step()
+        except Exception:
+            best = None
+        if best is None:
+            return False
+        self.state, _ = restore_state(self.ckpt_mgr, self.state, step=best)
+        logger.info("restored best checkpoint (step %d) for final eval", best)
+        return True
+
     # -- loops -----------------------------------------------------------
     def fit(self, train_loader: SnippetLoader,
             val_loader: Optional[SnippetLoader] = None):
@@ -200,6 +282,9 @@ class Trainer:
         limit_train = cfg.TRAINER.LIMIT_TRAIN_BATCHES
         limit_n = (int(limit_train) if limit_train > 1
                    else int(len(train_loader) * limit_train))
+        prof_steps = int(getattr(cfg.TPU, "PROFILE_STEPS", 0))
+        prof_dir = os.path.join(self.workdir, "profile")
+        profiling = False
         overfit_cache = []
         while train_loader.epoch < cfg.TRAINER.MAX_EPOCHS:
             t0 = time.perf_counter()
@@ -222,11 +307,21 @@ class Trainer:
                     self.state, dev_batch, sub)
                 t0 = self._tick("train_step", t0)
                 self.global_step += 1
+                if prof_steps and self.global_step == 2:
+                    # skip the compile-inclusive first step, then trace N
+                    # steps to a Perfetto/XPlane artifact (SURVEY §5)
+                    jax.profiler.start_trace(prof_dir)
+                    profiling = True
+                if profiling and self.global_step >= 2 + prof_steps:
+                    jax.block_until_ready(metrics["total_loss"])
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    logger.info("wrote jax.profiler trace to %s", prof_dir)
                 if cfg.LOG_IMAGES and self.global_step % log_img_every == 0:
-                    _, outputs = self.eval_step_fn(self.state, dev_batch, sub)
+                    outputs, feat = self._logging_step()(self.state, dev_batch)
                     self.log_images(dev_batch | {
                         k: batch[k] for k in ("scene_name", "snippet_id")},
-                        outputs, "train")
+                        outputs, "train", feature_map=feat)
                     t0 = self._tick("log_images", t0)
                 if self.global_step % cfg.TRAINER.LOG_EVERY_N_STEPS == 0:
                     host = {k: float(v) for k, v in metrics.items()}
@@ -246,6 +341,8 @@ class Trainer:
             if val_loader is None:
                 save_state(self.ckpt_mgr, self.global_step, self.state,
                            data_state=train_loader.state_dict())
+        if profiling:
+            jax.profiler.stop_trace()
         self.ckpt_mgr.wait_until_finished()
         if self.cfg.TRAINER.PROFILER:
             logger.info("profiler summary:\n%s", self.profile_summary())

@@ -57,3 +57,49 @@ def test_trainer_fit_validate_resume(smoke_cfg):
     b = jax.tree_util.tree_leaves(trainer2.state.params)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+
+
+def test_restore_best_after_fit(smoke_cfg):
+    from parq_tpu.train.loop import Trainer
+
+    trainer = Trainer(smoke_cfg)
+    train_loader, val_loader = build_loaders(smoke_cfg)
+    trainer.fit(train_loader, val_loader)
+    # val ran at least once during fit -> a best-by-0.5_f1 ckpt exists
+    assert trainer.restore_best()
+
+
+def test_strict_load_key_mismatch():
+    from parq_tpu.train.checkpoint import _strict_diff
+    dst = {"a": {"w": 1, "b": 2}, "c": 3}
+    assert _strict_diff(dst, {"a": {"w": 1, "b": 2}, "c": 3}, "params") == []
+    probs = _strict_diff(dst, {"a": {"w": 1}}, "params")
+    assert any(p.startswith("missing") for p in probs)
+    probs = _strict_diff(dst, {"a": {"w": 1, "b": 2}, "c": 3, "x": 9},
+                         "params")
+    assert any(p.startswith("unexpected") for p in probs)
+
+
+def test_image_logging_renders_pred_gt_and_features(smoke_cfg):
+    """GT wireframes + PCA feature maps (VERDICT L8): the logging step
+    exposes the sown feature map and the GT renderer produces an image."""
+    import jax
+    from parq_tpu.train.loop import Trainer, to_device_batch
+    from parq_tpu.utils.vis import pca_compress
+
+    trainer = Trainer(smoke_cfg)
+    train_loader, _ = build_loaders(smoke_cfg)
+    first = next(iter(train_loader))
+    train_loader.position = 0
+    trainer.setup_state(first, steps_per_epoch=len(train_loader))
+    dev = to_device_batch(first)
+
+    outputs, feat = trainer._logging_step()(trainer.state, dev)
+    assert feat.ndim == 5  # (B, T, h, w, C)
+    assert "pred_logits" in outputs
+
+    gt_img = trainer._render_gt_boxes(dev)
+    assert gt_img.ndim == 3 and gt_img.shape[2] == 3
+
+    pca = pca_compress(np.asarray(feat[0, 0], np.float32))
+    assert pca.shape == tuple(feat.shape[2:4]) + (3,)

@@ -14,8 +14,13 @@ from parq_tpu.config import get_cfg, update_config
 
 
 def build_loaders(cfg):
+    import jax
     from parq_tpu.data import ScanNetDataset, SnippetLoader
     dm = cfg.DATAMODULE
+    # per-host shard of the epoch order (multi-process runs; the
+    # DistributedSampler equivalent — ref: train.py:115 replace_sampler_ddp)
+    host = dict(process_index=jax.process_index(),
+                process_count=jax.process_count())
     if dm.DATASET == "arkitscenes":
         from parq_tpu.data.arkitscenes import ARKitScenesDataset
         train_ds = ARKitScenesDataset(
@@ -28,9 +33,10 @@ def build_loaders(cfg):
             image_size=tuple(cfg.TPU.IMAGE_SIZE),
             gravity_aligned=dm.GRAVITY_ALIGNED)
         train_loader = SnippetLoader(train_ds, dm.BATCH_SIZE,
-                                     shuffle=dm.SHUFFLE, seed=cfg.SEED)
+                                     shuffle=dm.SHUFFLE, seed=cfg.SEED,
+                                     **host)
         val_loader = SnippetLoader(val_ds, dm.BATCH_SIZE, shuffle=False,
-                                   drop_last=False, seed=cfg.SEED)
+                                   drop_last=False, seed=cfg.SEED, **host)
         return train_loader, val_loader
     if dm.DATA_PATH == "synthetic" or dm.DATASET == "synthetic":
         from parq_tpu.data.synthetic import SyntheticDataset
@@ -52,9 +58,9 @@ def build_loaders(cfg):
             image_size=tuple(cfg.TPU.IMAGE_SIZE),
             gravity_aligned=dm.GRAVITY_ALIGNED, seed=cfg.SEED)
     train_loader = SnippetLoader(train_ds, dm.BATCH_SIZE, shuffle=dm.SHUFFLE,
-                                 drop_last=True, seed=cfg.SEED)
+                                 drop_last=True, seed=cfg.SEED, **host)
     val_loader = SnippetLoader(val_ds, dm.BATCH_SIZE, shuffle=False,
-                               drop_last=False, seed=cfg.SEED)
+                               drop_last=False, seed=cfg.SEED, **host)
     return train_loader, val_loader
 
 
@@ -70,6 +76,15 @@ def main():
     cfg = get_cfg()
     update_config(cfg, args)
     logging.basicConfig(level=logging.INFO)
+
+    # multi-host bring-up BEFORE any other jax use (ref: DDP over
+    # GPUS x NUM_NODES processes, train.py:103-110)
+    from parq_tpu.parallel.multihost import initialize_distributed
+    if initialize_distributed(int(cfg.TRAINER.NUM_NODES)):
+        import jax
+        logging.info("multi-host: process %d/%d, %d global devices",
+                     jax.process_index(), jax.process_count(),
+                     jax.device_count())
     logging.info("config:\n%s", cfg)
 
     from parq_tpu.train.loop import Trainer
@@ -77,7 +92,9 @@ def main():
     train_loader, val_loader = build_loaders(cfg)
     trainer.fit(train_loader, val_loader)
 
-    # final test + validate on best (ref: train.py:129-142)
+    # final test + validate on the BEST checkpoint (ref: train.py:129-142)
+    if trainer.restore_best():
+        logging.info("final eval uses the best-0.5_f1 checkpoint")
     metrics = trainer.validate(val_loader, verbose=True)
     logging.info("final metrics: %s", metrics)
 
