@@ -117,21 +117,91 @@ def collate(items: List[Dict]) -> Dict:
     return out
 
 
+class _Prefetcher:
+    """Bounded background producer of batches [start, stop_idx).
+
+    Stoppable: an abandoned iterator's thread exits promptly instead of
+    blocking forever on a full queue. Exceptions in the producer re-raise
+    in the consumer."""
+
+    _END = object()
+
+    def __init__(self, make_batch, start: int, stop_idx: int, depth: int):
+        import queue
+        import threading
+        self._q = queue.Queue(maxsize=max(depth, 1))
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self._run, args=(make_batch, start, stop_idx),
+            daemon=True)
+        self._thread.start()
+
+    def _run(self, make_batch, start, stop_idx):
+        import queue
+        try:
+            for b in range(start, stop_idx):
+                item = make_batch(b)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
+            item = self._END
+        except BaseException as e:  # forwarded to the consumer
+            item = e
+        while not self._stop.is_set():
+            import queue as _q
+            try:
+                self._q.put(item, timeout=0.1)
+                return
+            except _q.Full:
+                continue
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+    def stop(self):
+        self._stop.set()
+
+
 class SnippetLoader:
-    """Resumable epoch iterator: shuffle, drop_last, stateful position."""
+    """Resumable epoch iterator: shuffle, drop_last, stateful position.
+
+    Multi-host: pass (process_index, process_count) and each host iterates
+    a disjoint strided shard of the identically-seeded epoch order — the
+    DistributedSampler equivalent the reference gets from Lightning
+    (`replace_sampler_ddp`, ref: train.py:115). Every host sees the same
+    number of batches (pad-by-wraparound)."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
-                 drop_last: bool = True, seed: int = 0):
+                 drop_last: bool = True, seed: int = 0,
+                 process_index: int = 0, process_count: int = 1,
+                 prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
+        self.process_index = process_index
+        self.process_count = max(process_count, 1)
+        self.prefetch = prefetch   # background-decode queue depth; 0 = sync
         self.epoch = 0
         self.position = 0  # batch index within epoch
+        self._producer = None
 
     def __len__(self):
         n = len(self.dataset)
+        if self.process_count > 1:
+            n = -(-n // self.process_count)   # padded per-host share
         return n // self.batch_size if self.drop_last else \
             (n + self.batch_size - 1) // self.batch_size
 
@@ -139,17 +209,43 @@ class SnippetLoader:
         n = len(self.dataset)
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
-            return rng.permutation(n)
-        return np.arange(n)
+            order = rng.permutation(n)
+        else:
+            order = np.arange(n)
+        if self.process_count > 1:
+            from ..parallel.multihost import host_shard_indices
+            order = host_shard_indices(order, self.process_index,
+                                       self.process_count)
+        return order
+
+    def _make_batch(self, order, b: int):
+        idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+        return collate([self.dataset[int(i)] for i in idxs])
 
     def __iter__(self):
         order = self._order()
         nb = len(self)
-        while self.position < nb:
-            b = self.position
-            idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-            self.position += 1
-            yield collate([self.dataset[int(i)] for i in idxs])
+        if self._producer is not None:       # abandoned previous iterator
+            self._producer.stop()
+            self._producer = None
+        if self.prefetch > 0:
+            # background decode thread: JPEG/pickle work overlaps the
+            # device step (the reference uses DataLoader worker processes;
+            # a thread suffices — PIL/np release the GIL in C code).
+            # `position` still counts YIELDED batches → state_dict resume
+            # semantics are unchanged.
+            self._producer = _Prefetcher(
+                lambda b, order=order: self._make_batch(order, b),
+                self.position, nb, self.prefetch)
+            for batch in self._producer:
+                self.position += 1
+                yield batch
+            self._producer = None
+        else:
+            while self.position < nb:
+                b = self.position
+                self.position += 1
+                yield self._make_batch(order, b)
         self.position = 0
         self.epoch += 1
 

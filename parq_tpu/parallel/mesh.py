@@ -41,8 +41,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Place a host batch on the mesh, batch-axis sharded over data."""
+    """Place a host batch on the mesh, batch-axis sharded over data.
+
+    Multi-process runs: each host holds only its per-host slice (the
+    SnippetLoader shard), assembled into the global array via
+    `make_array_from_process_local_data` — the jax-native equivalent of
+    DDP's per-rank batches."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sh), batch)
 

@@ -181,3 +181,35 @@ def test_demo_dataset(tmp_path, rng):
     assert "obbs_padded" not in item
     batch = collate([item])
     assert batch["rgb_img"].shape == (1, 3, 24, 32, 3)
+
+
+def test_prefetch_loader_matches_sync(tmp_path):
+    """Background-prefetch iteration yields identical batches in identical
+    order to the synchronous path, and resume semantics are unchanged."""
+    import numpy as np
+    from parq_tpu.data.scannet import SnippetLoader
+    from parq_tpu.data.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(6, image_size=(64, 48), seed=0)
+    sync = SnippetLoader(ds, batch_size=2, shuffle=True, seed=5, prefetch=0)
+    pre = SnippetLoader(ds, batch_size=2, shuffle=True, seed=5, prefetch=2)
+    sync_batches = list(sync)
+    pre_batches = list(pre)
+    assert len(sync_batches) == len(pre_batches) == 3
+    for a, b in zip(sync_batches, pre_batches):
+        assert a["snippet_id"] == b["snippet_id"]
+        np.testing.assert_array_equal(a["rgb_img"], b["rgb_img"])
+    assert sync.epoch == pre.epoch == 1
+
+    # abandoning a prefetching iterator mid-epoch, then resuming
+    pre2 = SnippetLoader(ds, batch_size=2, shuffle=True, seed=5, prefetch=2)
+    it = iter(pre2)
+    first = next(it)
+    state = pre2.state_dict()
+    assert state["position"] == 1
+    pre3 = SnippetLoader(ds, batch_size=2, shuffle=True, seed=5, prefetch=2)
+    pre3.load_state_dict(state)
+    rest = [b["snippet_id"] for b in pre3]
+    sync2 = SnippetLoader(ds, batch_size=2, shuffle=True, seed=5, prefetch=0)
+    expect = [b["snippet_id"] for b in sync2]
+    assert [first["snippet_id"]] + rest == expect

@@ -132,3 +132,45 @@ def test_tensor_parallel_sharding_rules(overfit_setup):
     sharded = shard_batch(batch4, mesh)
     s2, m2 = step(state_tp, sharded, jax.random.PRNGKey(3))
     assert np.isfinite(float(m2["total_loss"]))
+
+
+def test_host_shard_indices_disjoint_cover_equal():
+    """DistributedSampler semantics: equal per-host counts, union covers
+    the dataset, deterministic (VERDICT Missing #1 shard math)."""
+    import numpy as np
+    from parq_tpu.parallel import host_shard_indices
+
+    for n, pc in [(10, 4), (16, 4), (7, 2), (5, 8)]:
+        order = np.random.RandomState(0).permutation(n)
+        shards = [host_shard_indices(order, i, pc) for i in range(pc)]
+        lens = {len(s) for s in shards}
+        assert lens == {-(-n // pc)}, (n, pc, lens)
+        union = set(np.concatenate(shards).tolist())
+        assert union == set(range(n))
+    # single process: identity
+    order = np.arange(6)
+    np.testing.assert_array_equal(host_shard_indices(order, 0, 1), order)
+
+
+def test_snippet_loader_host_sharding():
+    """Two faked hosts see the same number of batches, and their snippets
+    are disjoint apart from wraparound padding."""
+    from parq_tpu.data.scannet import SnippetLoader
+    from parq_tpu.data.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(7, image_size=(64, 48), seed=0)
+    loaders = [SnippetLoader(ds, batch_size=2, shuffle=True, seed=3,
+                             drop_last=False, process_index=i,
+                             process_count=2) for i in range(2)]
+    assert len(loaders[0]) == len(loaders[1]) == 2  # ceil(ceil(7/2)/2)
+    seen = []
+    for ld in loaders:
+        ids = []
+        for batch in ld:
+            ids.extend(batch["snippet_id"])
+        seen.append(ids)
+    assert len(seen[0]) == len(seen[1]) == 4
+    # disjoint except the single wraparound pad item
+    overlap = set(seen[0]) & set(seen[1])
+    assert len(overlap) <= 1
+    assert len(set(seen[0]) | set(seen[1])) == 7
