@@ -154,113 +154,6 @@ def _pallas_sample(memory_hw: jnp.ndarray, uvs: jnp.ndarray) -> jnp.ndarray:
     )(uvs, memory_flat)
 
 
-def _gather_kernel(idx_ref, w_ref, mem_ref, out_ref, scratch, sems, *,
-                   W_img: int):
-    """Double-buffered DMA gather: per query, one strided DMA pulls the
-    2×2 neighbor block (2·2·C contiguous-in-C) from HBM into VMEM while the
-    previous query's block is weighted and accumulated. Edge handling is
-    folded into the weights outside the kernel (clamped indices, zeroed
-    out-of-bounds weights), so the kernel is a pure gather-fma."""
-    b = pl.program_id(0)
-    t = pl.program_id(1)
-
-    @pl.when(t == 0)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    Q = out_ref.shape[1]
-    C = out_ref.shape[2]
-
-    def get_dma(slot, q):
-        i = idx_ref[b, t, q]           # flattened y0c * W + x0c
-        y0 = i // W_img
-        x0 = jax.lax.rem(i, W_img)
-        return pltpu.make_async_copy(
-            mem_ref.at[b, t, pl.ds(y0, 2), pl.ds(x0, 2), :],
-            scratch.at[slot],
-            sems.at[slot])
-
-    get_dma(0, 0).start()
-
-    def body(q, carry):
-        slot = jax.lax.rem(q, 2)
-
-        @pl.when(q + 1 < Q)
-        def _start_next():
-            get_dma(jax.lax.rem(q + 1, 2), q + 1).start()
-
-        get_dma(slot, q).wait()
-        rows = scratch[slot].reshape(4, C)
-        w = w_ref[0, 0, pl.ds(q, 1), :]          # (1, 4)
-        acc = jnp.dot(w, rows, preferred_element_type=jnp.float32)  # (1, C)
-        out_ref[0, pl.ds(q, 1), :] += acc.astype(out_ref.dtype)
-        return carry
-
-    jax.lax.fori_loop(0, Q, body, 0)
-
-
-def _pallas_sample_gather(memory_hw: jnp.ndarray,
-                          uvs: jnp.ndarray) -> jnp.ndarray:
-    """DMA-gather strategy. memory_hw: (B,T,H,W,C); uvs: (B,T,Q,4)."""
-    B, T, H, W, C = memory_hw.shape
-    Q = uvs.shape[2]
-
-    u, v, scale = uvs[..., 0], uvs[..., 1], uvs[..., 2]
-    x0f = jnp.floor(u)
-    y0f = jnp.floor(v)
-    fx = u - x0f
-    fy = v - y0f
-    x0c = jnp.clip(x0f, 0, W - 2)
-    y0c = jnp.clip(y0f, 0, H - 2)
-    idx = (y0c * W + x0c).astype(jnp.int32)      # (B, T, Q)
-
-    # per-scratch-position weights with OOB folded in: position (a, b) holds
-    # pixel (y0c+a, x0c+b); weight = wx(col) * wy(row) * scale, where the
-    # col/row weight is nonzero only if it coincides with a true neighbor.
-    def axis_w(cf, c0c, frac, delta):
-        col = c0c + delta
-        return jnp.where(col == cf, 1.0 - frac,
-                         jnp.where(col == cf + 1.0, frac, 0.0))
-
-    ws = []
-    for a in (0.0, 1.0):
-        wy = axis_w(y0f, y0c, fy, a)
-        for bb in (0.0, 1.0):
-            wx = axis_w(x0f, x0c, fx, bb)
-            ws.append(wx * wy * scale)
-    w4 = jnp.stack(ws, axis=-1).astype(jnp.float32)  # (B, T, Q, 4)
-
-    kernel = functools.partial(_gather_kernel, W_img=W)
-    interpret = jax.default_backend() != "tpu"
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, T),
-        in_specs=[
-            # index maps receive the scalar-prefetch ref as a trailing arg
-            pl.BlockSpec((1, 1, Q, 4), lambda b, t, idx: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),      # memory stays in HBM
-        ],
-        out_specs=pl.BlockSpec((1, Q, C), lambda b, t, idx: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, 2, 2, C), memory_hw.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Q, C), jnp.float32),
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=8 * B * T * Q * C,
-            bytes_accessed=4 * B * T * Q * C * memory_hw.dtype.itemsize,
-            transcendentals=0),
-    )(idx, w4, memory_hw)
-    return out
-
-
 def _project_uvs(query_pos, T_camera_local: Pose, camera: Camera):
     """Projection + valid-mean scale, shared with the XLA path semantics."""
     query_pos_c = T_camera_local.transform(query_pos[:, None, :, :])
@@ -275,21 +168,6 @@ def _project_uvs(query_pos, T_camera_local: Pose, camera: Camera):
         jnp.zeros_like(scale[..., None], center_im.dtype),
     ], axis=-1)
     return uvs, center_im, center_valid
-
-
-@jax.custom_vjp
-def _sample_op(memory_hw, query_pos, T_camera_local_data, camera_data,
-               feat_size):
-    feats, _, _ = _sample_impl(memory_hw, query_pos, T_camera_local_data,
-                               camera_data, feat_size)
-    return feats
-
-
-# "matmul" builds bilinear weights on the fly and contracts on the MXU.
-# "gather" (per-query 2x2 DMA) is kept for reference but is NOT usable on
-# real TPUs: HBM slices along the sublane-tiled W dim must be 8-aligned
-# (Mosaic: "Slice shape along dimension 3 must be aligned to tiling (8)").
-STRATEGY = "matmul"
 
 
 def _xla_sample_from_uvs(memory_hw: jnp.ndarray, uvs: jnp.ndarray):
@@ -310,8 +188,6 @@ def _xla_sample_from_uvs(memory_hw: jnp.ndarray, uvs: jnp.ndarray):
 
 @jax.custom_vjp
 def _sample_op(memory_hw, uvs):
-    if STRATEGY == "gather":
-        return _pallas_sample_gather(memory_hw, uvs)
     return _pallas_sample(memory_hw, uvs)
 
 
@@ -336,14 +212,18 @@ def pixel_aligned_features_pallas(
     T_camera_local: Pose,
     camera: Camera,
     feat_size: Tuple[int, int],
+    force: bool = False,
 ):
     """Drop-in replacement for ops.pixel_align.pixel_aligned_features.
 
     Projection runs once (differentiable XLA); the fused kernel consumes the
     resulting (u, v, scale) tuple, so query-position gradients flow through
     the projection outside the custom_vjp boundary.
+
+    `force=True` runs the kernel even at f32 (tests exercise the kernel at
+    full precision this way).
     """
-    if memory_hw.dtype == jnp.float32:
+    if memory_hw.dtype == jnp.float32 and not force:
         # At f32 the kernel needs HIGHEST-precision MXU passes and loses to
         # XLA's native gather; the kernel wins for bf16 memory. Delegate.
         return _xla_reference(memory_hw, query_pos, T_camera_local, camera,

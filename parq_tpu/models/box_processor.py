@@ -11,8 +11,6 @@ import os
 
 from typing import Optional
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 # ScanNet 9-category mapping (ref: utils/parq_utils.py:47-57)
@@ -67,26 +65,3 @@ def load_mean_size_table(mean_size_path: Optional[str], num_semcls: int = 9,
     rows.append([1.0, 1.0, 1.0])  # "other"
     rows.append([1.0, 1.0, 1.0])  # background / non-object
     return np.asarray(rows, np.float32)
-
-
-class BoxProcessor:
-    """Stateless box decode helpers with a baked-in mean-size table."""
-
-    def __init__(self, num_semcls: int, mean_size_path: Optional[str]):
-        self.num_semcls = num_semcls
-        self.mean_size_arr = jnp.asarray(
-            load_mean_size_table(mean_size_path, num_semcls))
-
-    def compute_objectness_and_cls_prob(self, cls_logits: jnp.ndarray):
-        cls_prob = jax.nn.softmax(cls_logits, axis=-1)
-        objectness = 1.0 - cls_prob[..., -1]
-        return cls_prob, objectness
-
-    def compute_predicted_size(self, size_scale: jnp.ndarray,
-                               cls_prob: jnp.ndarray) -> jnp.ndarray:
-        """size = exp(size_scale) * mean_size[argmax cls] (ref: :94-99).
-        cls_prob comes in already stop_gradient'ed (the reference computes
-        it under no_grad — transformer_parq.py:259-265)."""
-        pred_cls = jnp.argmax(cls_prob, axis=-1)
-        mean = jnp.take(self.mean_size_arr, pred_cls, axis=0)
-        return jnp.exp(size_scale) * mean
