@@ -127,6 +127,7 @@ _C.TPU.FPN_CHANNELS = 256          # per-level FPN width (concat = 4x this)
 _C.TPU.DONATE_TRAIN_STATE = True
 _C.TPU.PROFILE_STEPS = 0   # >0: jax.profiler trace of N train steps to
                            # <workdir>/profile (view with Perfetto/XProf)
+_C.TPU.DEBUG_NANS = False  # jax_debug_nans: fail fast on NaN/Inf (SURVEY §5)
 
 
 def get_cfg() -> CN:

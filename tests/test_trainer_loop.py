@@ -103,3 +103,29 @@ def test_image_logging_renders_pred_gt_and_features(smoke_cfg):
 
     pca = pca_compress(np.asarray(feat[0, 0], np.float32))
     assert pca.shape == tuple(feat.shape[2:4]) + (3,)
+
+
+def test_seed_determinism(smoke_cfg):
+    """Same seed → bit-identical training trajectory (SURVEY §5 debug
+    discipline: determinism is the TPU-native sanitizer)."""
+    import jax
+    from parq_tpu.train.loop import Trainer, to_device_batch
+
+    def one_step_params(workdir):
+        trainer = Trainer(smoke_cfg, workdir=workdir)
+        train_loader, _ = build_loaders(smoke_cfg)
+        first = next(iter(train_loader))
+        train_loader.position = 0
+        trainer.setup_state(first, steps_per_epoch=len(train_loader))
+        rng = jax.random.PRNGKey(smoke_cfg.SEED + 17)
+        _, sub = jax.random.split(rng)
+        dev = to_device_batch(first)
+        state, metrics = trainer.train_step_fn(trainer.state, dev, sub)
+        return state.params, float(metrics["total_loss"])
+
+    p1, l1 = one_step_params(smoke_cfg.LOG_PATH + "/det_a")
+    p2, l2 = one_step_params(smoke_cfg.LOG_PATH + "/det_b")
+    assert l1 == l2
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -85,6 +85,9 @@ def main():
         logging.info("multi-host: process %d/%d, %d global devices",
                      jax.process_index(), jax.process_count(),
                      jax.device_count())
+    if cfg.TPU.DEBUG_NANS:
+        import jax
+        jax.config.update("jax_debug_nans", True)
     logging.info("config:\n%s", cfg)
 
     from parq_tpu.train.loop import Trainer
