@@ -1,33 +1,33 @@
-"""Shape-tuned fused cross-attention kernel for the PARQ decoder.
+"""Shape-tuned fused cross-attention for the PARQ decoder (fwd + bwd).
 
 The decoder's dominant cost is cross-attention of 256 queries against the
 T·H·W ≈ 14.4k memory tokens at head_dim 256 (ref: model/transformer_parq.py
 :377-380). XLA's attention materializes the (B, H, Q, N) logits in HBM —
-≈1GB of traffic per decoder iteration at the release config (measured round
-1) — and is bandwidth-bound. This kernel streams K/V blocks through VMEM
-and keeps the softmax online (flash-style), so the logits never exist in
-HBM: per (b, h) the whole query block (256×256) plus one K/V block live
-on-chip and both matmuls hit the MXU back-to-back.
+≈1GB of traffic per decoder iteration at the release config, and several
+times that in the backward (stored softmax weights + dropout masks). These
+kernels stream K/V blocks through VMEM with an online softmax, so the
+logits never exist in HBM, forward or backward.
 
 TPU-specific choices:
-- K arrives PRE-TRANSPOSED as (B, H, D, N): both matmuls are then in the
-  MXU-canonical (M,K)x(K,N) orientation — a contraction on the last dim of
-  both operands would force Mosaic to relayout every K block in VMEM.
-  The transpose is done once outside (the decoder recurrence reuses the
-  same K/V for all 8 iterations).
+- K arrives PRE-TRANSPOSED as (B, H, D, N): both forward matmuls are then
+  in the MXU-canonical (M,K)x(K,N) orientation. The transpose + pad happen
+  once outside the 8-iteration recurrence (see `pad_kv_for_flash`) — doing
+  them per call costs more than the kernel saves (measured 2.2ms/call).
 - exp via exp2 (VPU-native) instead of the polynomial exp.
 - grid (B, H, NB) with the KV-block axis innermost and (b, h) declared
-  parallel; the (m, l, acc) scratch carries across NB steps and the output
-  block is written on the last one.
+  parallel; (m, l, acc) scratch carries across NB steps.
 - big-negative (not -inf) masking for the padded KV tail keeps exp NaN-free.
+- training support: attention-weight dropout (the reference's
+  nn.MultiheadAttention dropout, applied to the softmaxed weights) is
+  regenerated INSIDE the kernel from a per-(b,h,block) PRNG seed, so the
+  (B,H,Q,N) mask never exists either; forward and backward reseed
+  identically. The custom VJP recomputes p from the saved rowwise
+  logsumexp (flash-style) — backward is 5 block matmuls instead of XLA's
+  stored-weights round trips.
 
 Why not the library flash kernel: measured ~30% slower than XLA at this
 shape in round 1 (generic block structure, segment-id plumbing, small
-grid). This one is specialized to the PARQ shape.
-
-VMEM budget per program at the release shape (Q=256, D=256, BK=3712, bf16):
-q 128KB + double-buffered k,v 2x1.9MB + s 3.8MB f32 + acc 256KB f32 + m/l
-256KB ≈ 8.2MB — inside the 16MB v5e VMEM.
+grid), and it has no dropout. These kernels are specialized to PARQ.
 """
 from __future__ import annotations
 
@@ -35,6 +35,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -42,8 +43,22 @@ NEG_INF = -1e30  # big-negative (not -inf) keeps exp() NaN-free on pad blocks
 LOG2E = 1.4426950408889634
 
 
-def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-                 sm_scale: float, block_k: int, n_valid: int, n_total: int):
+def _keep_mask(seed_ref, rate: float, shape):
+    """Regenerate the dropout keep-mask for this grid step; identical in
+    fwd and bwd (same seeding tuple). Mosaic supports at most 2 seed
+    values, so the (b, h, nb) grid position folds into one scalar."""
+    lin = ((pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
+           * pl.num_programs(2) + pl.program_id(2))
+    pltpu.prng_seed(seed_ref[0], lin)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    thresh = jnp.uint32(min(int(rate * 2 ** 32), 2 ** 32 - 1))
+    return bits >= thresh
+
+
+def _fwd_kernel(seed_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr, *,
+                sm_scale: float, block_k: int, n_valid: int, n_total: int,
+                rate: float, want_lse: bool):
     nb = pl.program_id(2)
 
     @pl.when(nb == 0)
@@ -72,7 +87,12 @@ def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     alpha = jnp.exp2(LOG2E * (m_prev - m_new))        # (Q, 1)
     p = jnp.exp2(LOG2E * s - LOG2E * m_new)           # (Q, BK) f32
+    # the softmax denominator uses the UNdropped weights (dropout applies
+    # after normalization, like flax/torch weight-dropout)
     l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    if rate > 0.0:
+        keep = _keep_mask(seed_ref, rate, p.shape)
+        p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
 
     pv = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -84,6 +104,71 @@ def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
     @pl.when(nb == pl.num_programs(2) - 1)
     def _():
         o_ref[0, 0] = (acc_scr[:] / l_scr[:, 0:1]).astype(o_ref.dtype)
+        if want_lse:
+            lse_ref[0, 0] = (m_scr[:]
+                             + jnp.log(jnp.maximum(l_scr[:], 1e-37)))
+
+
+def _bwd_kernel(seed_ref, q_ref, kt_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dq_ref, dkt_ref, dv_ref, dq_scr, *,
+                sm_scale: float, block_k: int, n_valid: int, n_total: int,
+                rate: float):
+    """Flash backward per (b, h, kv-block):
+      p  = exp(s - lse)              (recomputed, no stored weights)
+      w  = p * keep / (1-rate)       (the actual forward weights)
+      dw = do @ v^T
+      ds = (w*dw - p*delta) * scale  (softmax + dropout chain rule; delta
+                                      = rowsum(do*o) — the standard trick)
+      dq += ds @ k ;  dk^T = q^T @ ds ;  dv = w^T @ do
+    """
+    nb = pl.program_id(2)
+
+    @pl.when(nb == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0, 0]                                   # (Q, D)
+    kt = kt_ref[0, 0]                                 # (D, BK)
+    v = v_ref[0, 0]                                   # (BK, D)
+    do = do_ref[0, 0]                                 # (Q, D)
+    lse = lse_ref[0, 0][:, 0:1]                       # (Q, 1)
+    delta = delta_ref[0, 0][:, 0:1]                   # (Q, 1)
+
+    s = jax.lax.dot_general(
+        q, kt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * sm_scale
+    if n_valid < n_total:
+        kv_idx = nb * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, s.shape, 1)
+        s = jnp.where(kv_idx < n_valid, s, NEG_INF)
+
+    p = jnp.exp2(LOG2E * s - LOG2E * lse)             # (Q, BK) f32
+    if rate > 0.0:
+        keep = _keep_mask(seed_ref, rate, p.shape)
+        w = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+    else:
+        w = p
+
+    dw = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (Q, BK)
+    ds = (w * dw - p * delta) * sm_scale              # (Q, BK) f32
+    ds_c = ds.astype(q.dtype)
+    w_c = w.astype(do.dtype)
+
+    dq_scr[:] += jax.lax.dot_general(
+        ds_c, kt, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # (Q, D)
+    dkt_ref[0, 0] = jax.lax.dot_general(
+        q, ds_c, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dkt_ref.dtype)  # (D, BK)
+    dv_ref[0, 0] = jax.lax.dot_general(
+        w_c, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)   # (BK, D)
+
+    @pl.when(nb == pl.num_programs(2) - 1)
+    def _():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
 
 
 def cross_attention_reference(q: jnp.ndarray, k: jnp.ndarray,
@@ -98,7 +183,7 @@ def cross_attention_reference(q: jnp.ndarray, k: jnp.ndarray,
 
 
 def pad_kv_for_flash(k_t: jnp.ndarray, v: jnp.ndarray,
-                     block_k: int = 3712):
+                     block_k: int = 1920):
     """Pad pre-transposed K (B,H,D,N) and V (B,H,N,D) to a block multiple.
     Callers that reuse K/V across iterations (the decoder recurrence) do
     this ONCE; per-call padding would cost ~0.3ms/iter of HBM traffic."""
@@ -111,11 +196,140 @@ def pad_kv_for_flash(k_t: jnp.ndarray, v: jnp.ndarray,
     return k_t, v
 
 
+def _fwd_call(q, kt, v, seed, block_k, n_valid, rate, interpret, want_lse):
+    B, H, Q, D = q.shape
+    nb = kt.shape[-1] // block_k
+    n_total = nb * block_k
+    kernel = functools.partial(
+        _fwd_kernel, sm_scale=1.0 / (D ** 0.5), block_k=block_k,
+        n_valid=n_valid, n_total=n_total, rate=rate, want_lse=want_lse)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, H, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # seed (1,)
+            pl.BlockSpec((1, 1, Q, D), lambda b, h, n: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D, block_k), lambda b, h, n: (b, h, 0, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, n: (b, h, n, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, Q, D), lambda b, h, n: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Q, 128), lambda b, h, n: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Q, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Q, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Q, 128), jnp.float32),   # running max m
+            pltpu.VMEM((Q, 128), jnp.float32),   # running denom l
+            pltpu.VMEM((Q, D), jnp.float32),     # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Q * n_total * D,
+            bytes_accessed=(q.size * q.dtype.itemsize
+                            + 2 * kt.size * kt.dtype.itemsize
+                            + B * H * Q * D * q.dtype.itemsize),
+            transcendentals=B * H * Q * n_total),
+        interpret=interpret,
+    )(seed, q, kt, v)
+    return out[0], out[1]
+
+
+def _bwd_call(q, kt, v, do, lse, delta, seed, block_k, n_valid, rate,
+              interpret):
+    B, H, Q, D = q.shape
+    nb = kt.shape[-1] // block_k
+    n_total = nb * block_k
+    kernel = functools.partial(
+        _bwd_kernel, sm_scale=1.0 / (D ** 0.5), block_k=block_k,
+        n_valid=n_valid, n_total=n_total, rate=rate)
+    dq, dkt, dv = pl.pallas_call(
+        kernel,
+        grid=(B, H, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # seed (1,)
+            pl.BlockSpec((1, 1, Q, D), lambda b, h, n: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D, block_k), lambda b, h, n: (b, h, 0, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, n: (b, h, n, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Q, D), lambda b, h, n: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Q, 128), lambda b, h, n: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Q, 128), lambda b, h, n: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, Q, D), lambda b, h, n: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D, block_k), lambda b, h, n: (b, h, 0, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, n: (b, h, n, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct(kt.shape, kt.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((Q, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * H * Q * n_total * D,
+            bytes_accessed=(3 * q.size * q.dtype.itemsize
+                            + 4 * kt.size * kt.dtype.itemsize),
+            transcendentals=B * H * Q * n_total),
+        interpret=interpret,
+    )(seed, q, kt, v, do, lse, delta)
+    return dq, dkt, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_attn(q, kt, v, seed, block_k, n_valid, rate, interpret):
+    o, _ = _fwd_call(q, kt, v, seed, block_k, n_valid, rate, interpret,
+                     want_lse=False)
+    return o
+
+
+def _flash_attn_fwd(q, kt, v, seed, block_k, n_valid, rate, interpret):
+    o, lse = _fwd_call(q, kt, v, seed, block_k, n_valid, rate, interpret,
+                       want_lse=True)
+    return o, (q, kt, v, seed, o, lse)
+
+
+def _flash_attn_bwd(block_k, n_valid, rate, interpret, res, g):
+    q, kt, v, seed, o, lse = res
+    # delta = rowsum(do * o), broadcast to the (Q,128) lane layout the
+    # kernel's scratch-free broadcasting wants
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)           # (B,H,Q,1)
+    delta = jnp.broadcast_to(delta, delta.shape[:-1] + (128,))
+    dq, dkt, dv = _bwd_call(q, kt, v, g.astype(q.dtype), lse, delta, seed,
+                            block_k, n_valid, rate, interpret)
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return dq, dkt, dv, dseed
+
+
+_flash_attn.defvjp(_flash_attn_fwd, _flash_attn_bwd)
+
+
 def flash_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                          *, block_k: int = 3712, k_transposed: bool = False,
-                          n_valid: int = None,
+                          *, block_k: int = 1920, k_transposed: bool = False,
+                          n_valid: int = None, dropout_rate: float = 0.0,
+                          dropout_seed=None,
                           interpret: bool = None) -> jnp.ndarray:
-    """Fused full (unmasked) cross-attention.
+    """Fused full (unmasked) cross-attention, differentiable.
 
     Args:
       q: (B, H, Q, D) queries. Q must be sublane-aligned (multiple of 8).
@@ -126,6 +340,9 @@ def flash_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
       v: (B, H, N, D) memory values.
       n_valid: true token count when k/v arrive pre-padded; padding beyond
         it is masked out of the softmax.
+      dropout_rate: attention-weight dropout (the reference's MHA dropout),
+        regenerated in-kernel; requires `dropout_seed` (int32/uint32
+        scalar) when > 0. Fwd and bwd reseed identically.
     Returns:
       (B, H, Q, D) attention output, dtype of q.
     """
@@ -134,49 +351,18 @@ def flash_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         k = jnp.swapaxes(k, -1, -2)            # (B, H, N, D) → (B, H, D, N)
     N = k.shape[-1]
     n_valid = int(n_valid) if n_valid is not None else N
-    sm_scale = 1.0 / (D ** 0.5)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     block_k = min(block_k, max(128, -(-N // 128) * 128))
-    nb = -(-N // block_k)
-    n_pad = nb * block_k - N
+    n_pad = (-N) % block_k
     if n_pad:
         k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, n_pad)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, n_pad), (0, 0)))
 
-    kernel = functools.partial(_attn_kernel, sm_scale=sm_scale,
-                               block_k=block_k, n_valid=n_valid,
-                               n_total=nb * block_k)
-    grid = (B, H, nb)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, Q, D), lambda b, h, n: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D, block_k), lambda b, h, n: (b, h, 0, n),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, n: (b, h, n, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, Q, D), lambda b, h, n: (b, h, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, Q, D), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((Q, 128), jnp.float32),   # running max m
-            pltpu.VMEM((Q, 128), jnp.float32),   # running denom l
-            pltpu.VMEM((Q, D), jnp.float32),     # output accumulator
-        ],
-        compiler_params=pltpu.CompilerParams(
-            # b/h are independent; only the kv axis carries the scratch
-            # recurrence — lets Mosaic pipeline output writes across (b,h)
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * Q * (N + n_pad) * D,
-            bytes_accessed=(q.size * q.dtype.itemsize
-                            + 2 * k.size * k.dtype.itemsize
-                            + B * H * Q * D * q.dtype.itemsize),
-            transcendentals=B * H * Q * (N + n_pad)),
-        interpret=interpret,
-    )(q, k, v)
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    seed = jnp.asarray(
+        [dropout_seed if dropout_seed is not None else 0]).astype(jnp.int32)
+    return _flash_attn(q, k, v, seed, block_k, n_valid,
+                       float(dropout_rate), bool(interpret))

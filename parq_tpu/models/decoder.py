@@ -115,9 +115,18 @@ class DecoderLayer(nn.Module):
         cq_h = cq.transpose(0, 2, 1, 3)               # (B, H, Q, D)
         if self.use_flash:
             from ..kernels.cross_attention_pallas import flash_cross_attention
+            rate = 0.0 if det else self.dropout_rate
+            seed = None
+            if rate > 0.0:
+                # in-kernel dropout mask, reseeded identically in fwd/bwd;
+                # one fresh seed per scan iteration (split_rngs)
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (), 0, 2 ** 31 - 1,
+                    dtype=jnp.int32)
             attn = flash_cross_attention(
                 cq_h, k_mem.astype(cq.dtype), v_mem.astype(cq.dtype),
-                k_transposed=True, n_valid=self.kv_valid)
+                k_transposed=True, n_valid=self.kv_valid,
+                dropout_rate=rate, dropout_seed=seed)
         else:
             rng = (None if det or self.dropout_rate == 0.0
                    else self.make_rng("dropout"))
@@ -282,10 +291,11 @@ class PARQDecoder(nn.Module):
                                 name="cross_attn_value")(memory_tokens)
         v_mem = v_mem.transpose(0, 2, 1, 3)   # (B, H, N, D)
 
-        # static gate for the fused cross-attention kernel (bf16 TPU
-        # inference; f32 keeps the exact XLA softmax for parity runs)
+        # static gate for the fused cross-attention kernel (bf16 TPU path,
+        # inference AND training — the kernel has a flash-style custom VJP
+        # with in-kernel dropout; f32 keeps the exact XLA softmax for
+        # checkpoint-parity runs)
         flash = (self.use_flash
-                 and (deterministic or self.dropout_rate == 0.0)
                  and jax.default_backend() == "tpu"
                  and self.dtype == jnp.bfloat16
                  and head_dim % 128 == 0 and self.num_queries % 8 == 0)

@@ -120,3 +120,25 @@ def test_pallas_all_invalid_queries(rng):
                                                    fs, force=True)
     assert not bool(jnp.any(valid))
     np.testing.assert_allclose(np.asarray(got), 0.0, atol=1e-6)
+
+
+def test_flash_cross_attention_grads_match_reference(rng):
+    """Custom flash VJP (recompute-from-lse backward) == autodiff of the
+    exact softmax, incl. a non-block-multiple KV length."""
+    B, H, Q, D, N = 1, 2, 8, 128, 300
+    q = jnp.asarray(rng.randn(B, H, Q, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
+
+    def loss_kernel(q, k, v):
+        o = flash_cross_attention(q, k, v, block_k=128, interpret=True)
+        return jnp.sum(o ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(cross_attention_reference(q, k, v) ** 2)
+
+    g1 = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)
