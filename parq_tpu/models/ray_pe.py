@@ -12,7 +12,8 @@ from typing import Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..geometry import Camera, Pose, grid_2d, inverse_sigmoid, ray_points_snippet
+from ..geometry import (Camera, Pose, grid_2d, inverse_sigmoid,
+                        ray_points_snippet_fused)
 from .mlp import MLP2
 
 
@@ -33,7 +34,7 @@ class AddRayPE(nn.Module):
         W, H = self.feat_size
         pos_2d = grid_2d(W, H)
         T_local_world = T_world_local.inverse()
-        pts = ray_points_snippet(
+        pts = ray_points_snippet_fused(
             pos_2d, camera, T_camera_pseudoCam, T_world_pseudoCam,
             T_local_world, self.num_samples, self.min_depth, self.max_depth)
         # (B, T, H, W, n, 3) → normalize by scale box then inverse_sigmoid
