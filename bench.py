@@ -99,15 +99,29 @@ def build_train(batch_size: int, dtype: str):
     return step, state, batch, key
 
 
-def measure_train(step, state, batch, key, iters=5, warmup=2):
+def measure_train(step, state, batch, key, iters=10, warmup=1):
+    """Steady-state train-step rate: `iters` optimizer steps chained inside
+    ONE jitted lax.fori_loop (state threaded through the carry)."""
     import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(state, key):
+        def body(i, carry):
+            st, k, acc = carry
+            k, sub = jax.random.split(k)
+            st, m = step(st, batch, sub)
+            return (st, k, acc + m["total_loss"])
+        _, _, acc = jax.lax.fori_loop(
+            0, iters, body, (state, key, jnp.float32(0)))
+        return acc
+
     for _ in range(warmup):
-        state, m = step(state, batch, key)
-    jax.block_until_ready(m["total_loss"])
+        out = run(state, key)
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        state, m = step(state, batch, key)
-    jax.block_until_ready(m["total_loss"])
+    out = run(state, key)
+    jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     B, T = batch["rgb_img"].shape[:2]
     return B * T * iters / dt

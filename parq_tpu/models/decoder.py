@@ -169,7 +169,10 @@ class DecoderIteration(nn.Module):
         pos_feat = MLP2(self.dim, self.dim, name="position_encoder")(
             pos2posemb3d(ref_points))
 
-        # pixel-aligned sampling (ref: :321, project() :129-161)
+        # pixel-aligned sampling (ref: :321, project() :129-161).
+        # Default TPU path: XLA-gather forward + Pallas matmul backward
+        # (XLA's gather-transpose scatter was 2.1ms/iter in training);
+        # use_pallas opts into the fully-fused forward (small-batch win).
         query_metric = denormalize_points(ref_points, self.scale)
         if self.use_pallas:
             from ..kernels.pixel_align_pallas import pixel_aligned_features_pallas
@@ -177,7 +180,8 @@ class DecoderIteration(nn.Module):
                 memory_hw, query_metric, Pose(T_camera_local), Camera(camera),
                 self.feat_size)
         else:
-            pix, center_im, center_valid = pixel_aligned_features(
+            from ..kernels.pixel_align_pallas import pixel_aligned_features_fast
+            pix, center_im, center_valid = pixel_aligned_features_fast(
                 memory_hw, query_metric, Pose(T_camera_local), Camera(camera),
                 self.feat_size)
 

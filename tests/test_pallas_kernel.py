@@ -142,3 +142,32 @@ def test_flash_cross_attention_grads_match_reference(rng):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4, rtol=1e-3)
+
+
+def test_fast_sampling_path_values_and_grads(rng):
+    """pixel_aligned_features_fast (XLA-gather fwd + Pallas matmul bwd for
+    d(memory)) == the pure-XLA reference in both values and gradients."""
+    from parq_tpu.kernels import pixel_aligned_features_fast
+
+    feats, q, Tcl, cam, fs = setup(rng, B=2, T=2, H=4, W=8, C=32, Q=8)
+
+    ref, ref_im, ref_valid = pixel_aligned_features(feats, q, Tcl, cam, fs)
+    got, got_im, got_valid = pixel_aligned_features_fast(
+        feats, q, Tcl, cam, fs, force=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_valid),
+                                  np.asarray(ref_valid))
+
+    def loss_fast(feats, q):
+        out, _, _ = pixel_aligned_features_fast(feats, q, Tcl, cam, fs,
+                                                force=True)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(feats, q):
+        out, _, _ = pixel_aligned_features(feats, q, Tcl, cam, fs)
+        return jnp.sum(out ** 2)
+
+    g1 = jax.grad(loss_fast, argnums=(0, 1))(feats, q)
+    g2 = jax.grad(loss_ref, argnums=(0, 1))(feats, q)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
