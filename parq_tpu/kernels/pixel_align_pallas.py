@@ -219,8 +219,11 @@ def _sample_fast_fwd(memory_hw, uvs):
 
 def _sample_fast_bwd(res, g):
     memory_hw, uvs = res
-    # d(memory): Pallas matmul transpose (no scatter)
-    dmem = _pallas_sample_bwd_mem(uvs, g.astype(jnp.float32),
+    # d(memory): Pallas matmul transpose (no scatter). The cotangent is
+    # contracted in the MEMORY dtype — an f32 g forces HIGHEST-precision
+    # 3-pass matmuls (measured 96GiB/s, slower than the scatter it
+    # replaces); bf16 matches what the XLA scatter accumulated anyway.
+    dmem = _pallas_sample_bwd_mem(uvs, g.astype(memory_hw.dtype),
                                   memory_hw.shape, memory_hw.dtype)
     # d(uvs): gather-only arithmetic — differentiate w.r.t. uvs alone so
     # XLA never builds the memory scatter
