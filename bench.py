@@ -66,7 +66,12 @@ def measure(fwd, batch, iters: int = 30, warmup: int = 1) -> float:
     @jax.jit
     def run(batch):
         def body(i, acc):
-            out = fwd(batch)
+            # sub-ulp additive perturbation makes the body loop-carried so
+            # XLA cannot hoist the forward out of the loop (it folds `x*0`)
+            b = dict(batch)
+            b["rgb_img"] = b["rgb_img"] + (acc * 1e-24).astype(
+                b["rgb_img"].dtype)
+            out = fwd(b)
             s = sum(jnp.sum(leaf.astype(jnp.float32))
                     for leaf in jax.tree_util.tree_leaves(out))
             return acc + s
