@@ -14,16 +14,24 @@ TPU-specific choices:
   once outside the 8-iteration recurrence (see `pad_kv_for_flash`) — doing
   them per call costs more than the kernel saves (measured 2.2ms/call).
 - exp via exp2 (VPU-native) instead of the polynomial exp.
-- grid (B, H, NB) with the KV-block axis innermost and (b, h) declared
-  parallel; (m, l, acc) scratch carries across NB steps.
+- grid (B, H, NB, QB) with (b, h) parallel. The KV-block axis NB is OUTER
+  of the q-tile axis QB, so a K/V block is fetched once and reused by every
+  q-tile — this is what makes the decoder's batched-gradient path cheap:
+  all 8 recurrence iterations fold into the q axis (L·Q = 2048 rows) and
+  K/V are read ONCE for all of them instead of once per iteration.
+- In the backward, dkᵀ/dv output blocks are revisited consecutively across
+  q-tiles and accumulated IN VMEM — the cotangent sum over folded
+  iterations never round-trips HBM (this replaces the scan-transpose
+  select-add chains that dominated the round-2 train step).
 - big-negative (not -inf) masking for the padded KV tail keeps exp NaN-free.
 - training support: attention-weight dropout (the reference's
   nn.MultiheadAttention dropout, applied to the softmaxed weights) is
-  regenerated INSIDE the kernel from a per-(b,h,block) PRNG seed, so the
-  (B,H,Q,N) mask never exists either; forward and backward reseed
-  identically. The custom VJP recomputes p from the saved rowwise
-  logsumexp (flash-style) — backward is 5 block matmuls instead of XLA's
-  stored-weights round trips.
+  regenerated INSIDE the kernel from a per-(q-tile, b, h, kv-block) PRNG
+  seed, so the (B,H,Q,N) mask never exists either; forward and backward
+  reseed identically. With one seed per q-tile, a folded L·Q call draws
+  bit-identical masks to L separate per-iteration calls — the decoder's
+  batched-grad path depends on this. The custom VJP recomputes p from the
+  saved rowwise logsumexp (flash-style).
 
 Why not the library flash kernel: measured ~30% slower than XLA at this
 shape in round 1 (generic block structure, segment-id plumbing, small
@@ -43,38 +51,58 @@ NEG_INF = -1e30  # big-negative (not -inf) keeps exp() NaN-free on pad blocks
 LOG2E = 1.4426950408889634
 
 
-def _keep_mask(seed_ref, rate: float, shape):
+def _keep_mask(seed_ref, rate: float, shape, groups: int, interpret: bool):
     """Regenerate the dropout keep-mask for this grid step; identical in
     fwd and bwd (same seeding tuple). Mosaic supports at most 2 seed
-    values, so the (b, h, nb) grid position folds into one scalar."""
+    values, so the (b, h, nb) grid position folds into one scalar; the
+    q-tile index selects the per-group seed (groups == 1 uses seed 0 and
+    reproduces the single-call draws exactly). Interpret mode (CPU tests)
+    uses a counter-based hash instead of the TPU hardware PRNG — draws
+    differ between backends, but fwd/bwd and folded/per-tile calls agree
+    within a backend, which is all the training path needs."""
     lin = ((pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
            * pl.num_programs(2) + pl.program_id(2))
-    pltpu.prng_seed(seed_ref[0], lin)
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    seed = seed_ref[pl.program_id(3)] if groups > 1 else seed_ref[0]
     thresh = jnp.uint32(min(int(rate * 2 ** 32), 2 ** 32 - 1))
+    if interpret:
+        r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+        c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+        h = ((seed.astype(jnp.uint32) * jnp.uint32(2654435761))
+             ^ (lin.astype(jnp.uint32) * jnp.uint32(2246822519)))
+        h = h + r * jnp.uint32(3266489917) + c * jnp.uint32(668265263)
+        for _ in range(3):
+            h = h ^ (h >> 15)
+            h = h * jnp.uint32(2246822519)
+            h = h ^ (h >> 13)
+        bits = h ^ (h >> 16)
+    else:
+        pltpu.prng_seed(seed, lin)
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     return bits >= thresh
 
 
 def _fwd_kernel(seed_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr, *,
-                sm_scale: float, block_k: int, n_valid: int, n_total: int,
-                rate: float, want_lse: bool):
+                sm_scale: float, block_k: int, q_tile: int, n_valid: int,
+                n_total: int, rate: float, groups: int, want_lse: bool,
+                interpret: bool):
     nb = pl.program_id(2)
+    qb = pl.program_id(3)
 
     @pl.when(nb == 0)
     def _():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
+        m_scr[qb] = jnp.full_like(m_scr[qb], NEG_INF)
+        l_scr[qb] = jnp.zeros_like(l_scr[qb])
+        acc_scr[qb] = jnp.zeros_like(acc_scr[qb])
 
-    q = q_ref[0, 0]                                   # (Q, D)
+    q = q_ref[0, 0]                                   # (QT, D)
     kt = kt_ref[0, 0]                                 # (D, BK)
     v = v_ref[0, 0]                                   # (BK, D)
 
     # both dots are MXU-canonical: contraction dim is lhs-lane / rhs-sublane
     s = jax.lax.dot_general(
         q, kt, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * sm_scale  # (Q, BK) f32
+        preferred_element_type=jnp.float32) * sm_scale  # (QT, BK) f32
 
     # mask the zero-padded tail of the KV axis (static n_valid)
     if n_valid < n_total:
@@ -82,57 +110,62 @@ def _fwd_kernel(seed_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref,
             jnp.int32, s.shape, 1)
         s = jnp.where(kv_idx < n_valid, s, NEG_INF)
 
-    m_prev = m_scr[:, 0:1]                            # (Q, 1)
-    l_prev = l_scr[:, 0:1]
+    m_prev = m_scr[qb][:, 0:1]                        # (QT, 1)
+    l_prev = l_scr[qb][:, 0:1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    alpha = jnp.exp2(LOG2E * (m_prev - m_new))        # (Q, 1)
-    p = jnp.exp2(LOG2E * s - LOG2E * m_new)           # (Q, BK) f32
+    alpha = jnp.exp2(LOG2E * (m_prev - m_new))        # (QT, 1)
+    p = jnp.exp2(LOG2E * s - LOG2E * m_new)           # (QT, BK) f32
     # the softmax denominator uses the UNdropped weights (dropout applies
     # after normalization, like flax/torch weight-dropout)
     l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
     if rate > 0.0:
-        keep = _keep_mask(seed_ref, rate, p.shape)
+        keep = _keep_mask(seed_ref, rate, p.shape, groups, interpret)
         p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
 
     pv = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)           # (Q, D)
-    acc_scr[:] = acc_scr[:] * alpha + pv
-    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+        preferred_element_type=jnp.float32)           # (QT, D)
+    acc_scr[qb] = acc_scr[qb] * alpha + pv
+    m_scr[qb] = jnp.broadcast_to(m_new, m_scr[qb].shape)
+    l_scr[qb] = jnp.broadcast_to(l_new, l_scr[qb].shape)
 
     @pl.when(nb == pl.num_programs(2) - 1)
     def _():
-        o_ref[0, 0] = (acc_scr[:] / l_scr[:, 0:1]).astype(o_ref.dtype)
+        rows = pl.ds(qb * q_tile, q_tile)
+        o_ref[0, 0, rows, :] = (acc_scr[qb]
+                                / l_scr[qb][:, 0:1]).astype(o_ref.dtype)
         if want_lse:
-            lse_ref[0, 0] = (m_scr[:]
-                             + jnp.log(jnp.maximum(l_scr[:], 1e-37)))
+            lse_ref[0, 0, rows, :] = (m_scr[qb]
+                                      + jnp.log(jnp.maximum(l_scr[qb],
+                                                            1e-37)))
 
 
 def _bwd_kernel(seed_ref, q_ref, kt_ref, v_ref, do_ref, lse_ref, delta_ref,
                 dq_ref, dkt_ref, dv_ref, dq_scr, *,
-                sm_scale: float, block_k: int, n_valid: int, n_total: int,
-                rate: float):
-    """Flash backward per (b, h, kv-block):
+                sm_scale: float, block_k: int, q_tile: int, n_valid: int,
+                n_total: int, rate: float, groups: int, interpret: bool):
+    """Flash backward per (b, h, kv-block, q-tile):
       p  = exp(s - lse)              (recomputed, no stored weights)
       w  = p * keep / (1-rate)       (the actual forward weights)
       dw = do @ v^T
       ds = (w*dw - p*delta) * scale  (softmax + dropout chain rule; delta
                                       = rowsum(do*o) — the standard trick)
-      dq += ds @ k ;  dk^T = q^T @ ds ;  dv = w^T @ do
-    """
+      dq += ds @ k ;  dk^T += q^T @ ds ;  dv += w^T @ do
+    dkᵀ/dv blocks are revisited across the q-tile axis (innermost) and
+    accumulate in VMEM — the sum over folded iterations is free."""
     nb = pl.program_id(2)
+    qb = pl.program_id(3)
 
     @pl.when(nb == 0)
     def _():
-        dq_scr[:] = jnp.zeros_like(dq_scr)
+        dq_scr[qb] = jnp.zeros_like(dq_scr[qb])
 
-    q = q_ref[0, 0]                                   # (Q, D)
+    q = q_ref[0, 0]                                   # (QT, D)
     kt = kt_ref[0, 0]                                 # (D, BK)
     v = v_ref[0, 0]                                   # (BK, D)
-    do = do_ref[0, 0]                                 # (Q, D)
-    lse = lse_ref[0, 0][:, 0:1]                       # (Q, 1)
-    delta = delta_ref[0, 0][:, 0:1]                   # (Q, 1)
+    do = do_ref[0, 0]                                 # (QT, D)
+    lse = lse_ref[0, 0][:, 0:1]                       # (QT, 1)
+    delta = delta_ref[0, 0][:, 0:1]                   # (QT, 1)
 
     s = jax.lax.dot_general(
         q, kt, (((1,), (0,)), ((), ())),
@@ -142,33 +175,48 @@ def _bwd_kernel(seed_ref, q_ref, kt_ref, v_ref, do_ref, lse_ref, delta_ref,
             jnp.int32, s.shape, 1)
         s = jnp.where(kv_idx < n_valid, s, NEG_INF)
 
-    p = jnp.exp2(LOG2E * s - LOG2E * lse)             # (Q, BK) f32
+    p = jnp.exp2(LOG2E * s - LOG2E * lse)             # (QT, BK) f32
     if rate > 0.0:
-        keep = _keep_mask(seed_ref, rate, p.shape)
+        keep = _keep_mask(seed_ref, rate, p.shape, groups, interpret)
         w = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
     else:
         w = p
 
     dw = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)           # (Q, BK)
-    ds = (w * dw - p * delta) * sm_scale              # (Q, BK) f32
+        preferred_element_type=jnp.float32)           # (QT, BK)
+    ds = (w * dw - p * delta) * sm_scale              # (QT, BK) f32
     ds_c = ds.astype(q.dtype)
     w_c = w.astype(do.dtype)
 
-    dq_scr[:] += jax.lax.dot_general(
+    dq_scr[qb] += jax.lax.dot_general(
         ds_c, kt, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)           # (Q, D)
-    dkt_ref[0, 0] = jax.lax.dot_general(
+        preferred_element_type=jnp.float32)           # (QT, D)
+    dkt_blk = jax.lax.dot_general(
         q, ds_c, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dkt_ref.dtype)  # (D, BK)
-    dv_ref[0, 0] = jax.lax.dot_general(
+    dv_blk = jax.lax.dot_general(
         w_c, do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dv_ref.dtype)   # (BK, D)
+    if pl.num_programs(3) == 1:
+        dkt_ref[0, 0] = dkt_blk
+        dv_ref[0, 0] = dv_blk
+    else:
+
+        @pl.when(qb == 0)
+        def _():
+            dkt_ref[0, 0] = dkt_blk
+            dv_ref[0, 0] = dv_blk
+
+        @pl.when(qb > 0)
+        def _():
+            dkt_ref[0, 0] += dkt_blk
+            dv_ref[0, 0] += dv_blk
 
     @pl.when(nb == pl.num_programs(2) - 1)
     def _():
-        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+        dq_ref[0, 0, pl.ds(qb * q_tile, q_tile), :] = \
+            dq_scr[qb].astype(dq_ref.dtype)
 
 
 def cross_attention_reference(q: jnp.ndarray, k: jnp.ndarray,
@@ -196,29 +244,34 @@ def pad_kv_for_flash(k_t: jnp.ndarray, v: jnp.ndarray,
     return k_t, v
 
 
-def _fwd_call(q, kt, v, seed, block_k, n_valid, rate, interpret, want_lse):
+def _fwd_call(q, kt, v, seed, block_k, n_valid, rate, q_tile, interpret,
+              want_lse):
     B, H, Q, D = q.shape
     nb = kt.shape[-1] // block_k
     n_total = nb * block_k
+    QT = q_tile or Q
+    QB = Q // QT
+    groups = seed.shape[0]
     kernel = functools.partial(
-        _fwd_kernel, sm_scale=1.0 / (D ** 0.5), block_k=block_k,
-        n_valid=n_valid, n_total=n_total, rate=rate, want_lse=want_lse)
+        _fwd_kernel, sm_scale=1.0 / (D ** 0.5), block_k=block_k, q_tile=QT,
+        n_valid=n_valid, n_total=n_total, rate=rate, groups=groups,
+        want_lse=want_lse, interpret=interpret)
     out = pl.pallas_call(
         kernel,
-        grid=(B, H, nb),
+        grid=(B, H, nb, QB),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),     # seed (1,)
-            pl.BlockSpec((1, 1, Q, D), lambda b, h, n: (b, h, 0, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # seeds (G,)
+            pl.BlockSpec((1, 1, QT, D), lambda b, h, n, t: (b, h, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D, block_k), lambda b, h, n: (b, h, 0, n),
+            pl.BlockSpec((1, 1, D, block_k), lambda b, h, n, t: (b, h, 0, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, n: (b, h, n, 0),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, n, t: (b, h, n, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, Q, D), lambda b, h, n: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, Q, D), lambda b, h, n, t: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Q, 128), lambda b, h, n: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, Q, 128), lambda b, h, n, t: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -226,12 +279,13 @@ def _fwd_call(q, kt, v, seed, block_k, n_valid, rate, interpret, want_lse):
             jax.ShapeDtypeStruct((B, H, Q, 128), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((Q, 128), jnp.float32),   # running max m
-            pltpu.VMEM((Q, 128), jnp.float32),   # running denom l
-            pltpu.VMEM((Q, D), jnp.float32),     # output accumulator
+            pltpu.VMEM((QB, QT, 128), jnp.float32),   # running max m
+            pltpu.VMEM((QB, QT, 128), jnp.float32),   # running denom l
+            pltpu.VMEM((QB, QT, D), jnp.float32),     # output accumulator
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary",
+                                 "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * Q * n_total * D,
             bytes_accessed=(q.size * q.dtype.itemsize
@@ -244,37 +298,41 @@ def _fwd_call(q, kt, v, seed, block_k, n_valid, rate, interpret, want_lse):
 
 
 def _bwd_call(q, kt, v, do, lse, delta, seed, block_k, n_valid, rate,
-              interpret):
+              q_tile, interpret):
     B, H, Q, D = q.shape
     nb = kt.shape[-1] // block_k
     n_total = nb * block_k
+    QT = q_tile or Q
+    QB = Q // QT
+    groups = seed.shape[0]
     kernel = functools.partial(
-        _bwd_kernel, sm_scale=1.0 / (D ** 0.5), block_k=block_k,
-        n_valid=n_valid, n_total=n_total, rate=rate)
+        _bwd_kernel, sm_scale=1.0 / (D ** 0.5), block_k=block_k, q_tile=QT,
+        n_valid=n_valid, n_total=n_total, rate=rate, groups=groups,
+        interpret=interpret)
     dq, dkt, dv = pl.pallas_call(
         kernel,
-        grid=(B, H, nb),
+        grid=(B, H, nb, QB),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),     # seed (1,)
-            pl.BlockSpec((1, 1, Q, D), lambda b, h, n: (b, h, 0, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),     # seeds (G,)
+            pl.BlockSpec((1, 1, QT, D), lambda b, h, n, t: (b, h, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D, block_k), lambda b, h, n: (b, h, 0, n),
+            pl.BlockSpec((1, 1, D, block_k), lambda b, h, n, t: (b, h, 0, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, n: (b, h, n, 0),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, n, t: (b, h, n, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Q, D), lambda b, h, n: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, QT, D), lambda b, h, n, t: (b, h, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Q, 128), lambda b, h, n: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, QT, 128), lambda b, h, n, t: (b, h, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, Q, 128), lambda b, h, n: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, QT, 128), lambda b, h, n, t: (b, h, t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, Q, D), lambda b, h, n: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, Q, D), lambda b, h, n, t: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D, block_k), lambda b, h, n: (b, h, 0, n),
+            pl.BlockSpec((1, 1, D, block_k), lambda b, h, n, t: (b, h, 0, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, n: (b, h, n, 0),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, n, t: (b, h, n, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -282,9 +340,10 @@ def _bwd_call(q, kt, v, do, lse, delta, seed, block_k, n_valid, rate,
             jax.ShapeDtypeStruct(kt.shape, kt.dtype),
             jax.ShapeDtypeStruct(v.shape, v.dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((Q, D), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((QB, QT, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary",
+                                 "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=10 * B * H * Q * n_total * D,
             bytes_accessed=(3 * q.size * q.dtype.itemsize
@@ -295,20 +354,21 @@ def _bwd_call(q, kt, v, do, lse, delta, seed, block_k, n_valid, rate,
     return dq, dkt, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash_attn(q, kt, v, seed, block_k, n_valid, rate, interpret):
-    o, _ = _fwd_call(q, kt, v, seed, block_k, n_valid, rate, interpret,
-                     want_lse=False)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_attn(q, kt, v, seed, block_k, n_valid, rate, q_tile, interpret):
+    o, _ = _fwd_call(q, kt, v, seed, block_k, n_valid, rate, q_tile,
+                     interpret, want_lse=False)
     return o
 
 
-def _flash_attn_fwd(q, kt, v, seed, block_k, n_valid, rate, interpret):
-    o, lse = _fwd_call(q, kt, v, seed, block_k, n_valid, rate, interpret,
-                       want_lse=True)
+def _flash_attn_fwd(q, kt, v, seed, block_k, n_valid, rate, q_tile,
+                    interpret):
+    o, lse = _fwd_call(q, kt, v, seed, block_k, n_valid, rate, q_tile,
+                       interpret, want_lse=True)
     return o, (q, kt, v, seed, o, lse)
 
 
-def _flash_attn_bwd(block_k, n_valid, rate, interpret, res, g):
+def _flash_attn_bwd(block_k, n_valid, rate, q_tile, interpret, res, g):
     q, kt, v, seed, o, lse = res
     # delta = rowsum(do * o), broadcast to the (Q,128) lane layout the
     # kernel's scratch-free broadcasting wants
@@ -316,7 +376,7 @@ def _flash_attn_bwd(block_k, n_valid, rate, interpret, res, g):
                     axis=-1, keepdims=True)           # (B,H,Q,1)
     delta = jnp.broadcast_to(delta, delta.shape[:-1] + (128,))
     dq, dkt, dv = _bwd_call(q, kt, v, g.astype(q.dtype), lse, delta, seed,
-                            block_k, n_valid, rate, interpret)
+                            block_k, n_valid, rate, q_tile, interpret)
     dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
     return dq, dkt, dv, dseed
 
@@ -327,7 +387,7 @@ _flash_attn.defvjp(_flash_attn_fwd, _flash_attn_bwd)
 def flash_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           *, block_k: int = 1920, k_transposed: bool = False,
                           n_valid: int = None, dropout_rate: float = 0.0,
-                          dropout_seed=None,
+                          dropout_seed=None, q_tile: int = None,
                           interpret: bool = None) -> jnp.ndarray:
     """Fused full (unmasked) cross-attention, differentiable.
 
@@ -341,8 +401,14 @@ def flash_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
       n_valid: true token count when k/v arrive pre-padded; padding beyond
         it is masked out of the softmax.
       dropout_rate: attention-weight dropout (the reference's MHA dropout),
-        regenerated in-kernel; requires `dropout_seed` (int32/uint32
-        scalar) when > 0. Fwd and bwd reseed identically.
+        regenerated in-kernel; requires `dropout_seed` when > 0. Fwd and
+        bwd reseed identically.
+      dropout_seed: int32 scalar, or a (G,) vector of per-q-tile seeds for
+        folded calls (G must divide Q; each Q/G-row tile draws with its own
+        seed, bit-identical to G separate calls of Q/G rows each).
+      q_tile: rows per q-tile (grid-split of the query axis). Defaults to
+        Q (single tile). When a seed VECTOR is passed, q_tile is forced to
+        Q // G so tiles and seed groups coincide.
     Returns:
       (B, H, Q, D) attention output, dtype of q.
     """
@@ -363,6 +429,14 @@ def flash_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if dropout_rate > 0.0 and dropout_seed is None:
         raise ValueError("dropout_rate > 0 requires dropout_seed")
     seed = jnp.asarray(
-        [dropout_seed if dropout_seed is not None else 0]).astype(jnp.int32)
+        dropout_seed if dropout_seed is not None else 0).reshape(-1)
+    seed = seed.astype(jnp.int32)
+    G = seed.shape[0]
+    if G > 1:
+        if Q % G:
+            raise ValueError(f"Q={Q} not divisible by seed groups G={G}")
+        q_tile = Q // G
+    if q_tile is not None and Q % q_tile:
+        raise ValueError(f"Q={Q} not divisible by q_tile={q_tile}")
     return _flash_attn(q, k, v, seed, block_k, n_valid,
-                       float(dropout_rate), bool(interpret))
+                       float(dropout_rate), q_tile, bool(interpret))

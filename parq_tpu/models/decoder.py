@@ -11,9 +11,28 @@ stop_gradient(normalized predicted centers) (ref: :330-332).
 
 All iteration outputs are stacked by scan (leading axis L), mirroring
 `return_intermediate` (ref: :334-336).
+
+TRAINING (batched-gradient) path: because the recurrence carry is
+stop_gradient-ed (ref detaches the new reference points, :331), the L
+iterations are gradient-independent given their input reference points.
+The training forward therefore runs in two phases:
+  1. a cheap sequential pass that only produces the reference-point
+     trajectory (no gradients flow — every carry is stop_gradient-ed, so
+     XLA keeps no residuals);
+  2. ONE folded call with all L·Q queries in the token axis, which is the
+     loss-bearing forward.
+The backward of phase 2 is a single batched pass: the cross-attention
+kernel reads K/V once for all L iterations (vs once per iteration), and
+the dK/dV/d(memory) cotangent sums over iterations happen inside matmul
+contractions instead of the scan-transpose's per-iteration select-add
+chains over ~60MB tensors (the round-2 train-step profile's top cost).
+Dropout draws are bit-identical between the two phases (per-iteration
+keys; the flash kernel takes one seed per folded q-tile), so phase 2
+recomputes exactly the forward that produced the trajectory.
 """
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -21,9 +40,17 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry import Camera, Pose, inverse_sigmoid
-from ..ops.pixel_align import pixel_aligned_features
 from ..ops.posemb import pos2posemb3d
 from .mlp import MLP2, HeadMLP
+
+# dropout-site salts (fold_in(key_l, salt)); shared by the sequential and
+# folded paths so their draws coincide
+_SALT_SA_W = 0      # self-attention weight dropout
+_SALT_DROP1 = 1     # residual dropout after self-attn
+_SALT_CA_W = 2      # cross-attention weight dropout (flash seed / XLA mask)
+_SALT_DROP2 = 3     # residual dropout after cross-attn
+_SALT_FFN = 4       # dropout after the FFN ReLU
+_SALT_DROP3 = 5     # residual dropout after the FFN
 
 
 def normalize_points(p: jnp.ndarray, scale: Sequence[float]) -> jnp.ndarray:
@@ -45,21 +72,65 @@ def denormalize_points(p: jnp.ndarray, scale: Sequence[float]) -> jnp.ndarray:
     ], axis=-1)
 
 
+def _grouped_keep(keys, salt: int, rate: float, per_shape, axis: int,
+                  groups: int):
+    """One bernoulli keep-mask per iteration group, concatenated along
+    `axis`. With groups == 1 this is a single draw — the folded path's
+    group-g slice equals the sequential path's iteration-g draw exactly."""
+    masks = [
+        jax.random.bernoulli(jax.random.fold_in(keys[g], salt), 1.0 - rate,
+                             per_shape)
+        for g in range(groups)
+    ]
+    return jnp.concatenate(masks, axis=axis) if groups > 1 else masks[0]
+
+
+def _apply_drop(x: jnp.ndarray, keep: Optional[jnp.ndarray], rate: float):
+    if keep is None:
+        return x
+    return jnp.where(keep, x / jnp.asarray(1.0 - rate, x.dtype),
+                     jnp.zeros((), x.dtype))
+
+
+class SelfAttention(nn.Module):
+    """Multi-head self-attention, parameter-compatible with flax
+    nn.MultiHeadDotProductAttention (query/key/value/out DenseGenerals —
+    torch-checkpoint conversion and TP sharding rules keep working), but
+    with the weight-dropout keep-mask passed in EXPLICITLY so the decoder's
+    sequential and folded training paths draw identical masks."""
+    heads: int
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_in, k_in, v_in, keep_mask=None, rate: float = 0.0):
+        head_dim = self.dim // self.heads
+        proj = functools.partial(nn.DenseGeneral,
+                                 features=(self.heads, head_dim),
+                                 dtype=self.dtype)
+        q = proj(name="query")(q_in)                  # (..., N, H, hd)
+        k = proj(name="key")(k_in)
+        v = proj(name="value")(v_in)
+        q = q / jnp.asarray(head_dim ** 0.5, q.dtype)
+        w = jnp.einsum("...qhd,...khd->...hqk", q, k)
+        w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(q.dtype)
+        w = _apply_drop(w, keep_mask, rate)
+        o = jnp.einsum("...hqk,...khd->...qhd", w, v)
+        return nn.DenseGeneral(self.dim, axis=(-2, -1), dtype=self.dtype,
+                               name="out")(o)
+
+
 def _xla_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                         dropout_rate: float, deterministic: bool,
-                         rng) -> jnp.ndarray:
+                         rate: float, keep) -> jnp.ndarray:
     """Materializing attention: q (B,H,Q,D), k/v (B,H,N,D) → (B,H,Q,D).
 
-    Same math as flax nn.dot_product_attention (incl. its
-    broadcast_dropout=False weight-dropout semantics, which the reference's
-    nn.MultiheadAttention dropout corresponds to)."""
+    Same math as flax nn.dot_product_attention with broadcast_dropout=False
+    weight-dropout semantics (== the reference's nn.MultiheadAttention
+    dropout); the keep-mask is drawn by the caller."""
     D = q.shape[-1]
     w = jnp.einsum("bhqd,bhkd->bhqk", q / jnp.asarray(D ** 0.5, q.dtype), k)
     w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(q.dtype)
-    if not deterministic and dropout_rate > 0.0:
-        keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, w.shape)
-        w = w * keep.astype(w.dtype) / jnp.asarray(1.0 - dropout_rate,
-                                                   w.dtype)
+    w = _apply_drop(w, keep, rate)
     return jnp.einsum("bhqk,bhkd->bhqd", w, v)
 
 
@@ -72,6 +143,11 @@ class DecoderLayer(nn.Module):
     them every iteration, ~70% of forward FLOPs). This layer receives the
     precomputed (k_mem, v_mem) and owns only the query/out projections.
     The math is identical to the reference's nn.MultiheadAttention.
+
+    `n_groups > 1` is the folded training layout: the token axis carries
+    n_groups recurrence iterations × Q queries (g-major). Self-attention
+    folds groups into the batch axis (no cross-iteration attention);
+    dropout draws one mask per group with that group's key.
     """
     dim: int
     heads: int
@@ -79,73 +155,97 @@ class DecoderLayer(nn.Module):
     dropout_rate: float
     deterministic: bool
     dtype: jnp.dtype = jnp.float32
-    # When True the caller guarantees: TPU backend, deterministic-or-no-
-    # dropout, bf16, MXU-aligned shapes, AND k_mem arriving pre-transposed
-    # (B,H,D,Np) + v_mem pre-padded (B,H,Np,D) with kv_valid true tokens.
-    # The gate + layout prep live in PARQDecoder so the 59MB K/V relayout
-    # happens once per forward, not once per iteration.
+    # When True the caller guarantees: TPU backend, bf16, MXU-aligned
+    # shapes, AND k_mem arriving pre-transposed (B,H,D,Np) + v_mem
+    # pre-padded (B,H,Np,D) with kv_valid true tokens. The gate + layout
+    # prep live in PARQDecoder so the 59MB K/V relayout happens once per
+    # forward, not once per iteration.
     use_flash: bool = False
     kv_valid: Optional[int] = None
 
     @nn.compact
     def __call__(self, tgt: jnp.ndarray, k_mem: jnp.ndarray,
-                 v_mem: jnp.ndarray, query_pos: jnp.ndarray) -> jnp.ndarray:
-        det = self.deterministic
+                 v_mem: jnp.ndarray, query_pos: jnp.ndarray,
+                 drop_keys=None, n_groups: int = 1) -> jnp.ndarray:
+        rate = self.dropout_rate
+        det = self.deterministic or rate == 0.0 or drop_keys is None
         head_dim = self.dim // self.heads
+        B, GQ, _ = tgt.shape
+        G = n_groups
+        Q0 = GQ // G
 
-        def drop(x, name):
-            return nn.Dropout(self.dropout_rate, deterministic=det,
-                              name=name)(x)
+        def drop(x, salt):
+            if det:
+                return x
+            keep = _grouped_keep(drop_keys, salt, rate,
+                                 (B, Q0) + x.shape[2:], 1, G)
+            return _apply_drop(x, keep, rate)
 
-        q = k = tgt + query_pos
-        sa = nn.MultiHeadDotProductAttention(
-            num_heads=self.heads, qkv_features=self.dim,
-            out_features=self.dim, dropout_rate=self.dropout_rate,
-            broadcast_dropout=False, deterministic=det, dtype=self.dtype,
-            name="self_attn")(q, k, tgt)
-        tgt = nn.LayerNorm(name="norm1")(tgt + drop(sa, "dropout1"))
+        q_sa = tgt + query_pos
+        sa_mod = SelfAttention(self.heads, self.dim, dtype=self.dtype,
+                               name="self_attn")
+        sa_keep = None
+        if not det:
+            sa_keep = _grouped_keep(drop_keys, _SALT_SA_W, rate,
+                                    (B, 1, self.heads, Q0, Q0), 1, G)
+            sa_keep = sa_keep.reshape(B * G, self.heads, Q0, Q0)
+        if G > 1:
+            sa = sa_mod(q_sa.reshape(B * G, Q0, -1),
+                        q_sa.reshape(B * G, Q0, -1),
+                        tgt.reshape(B * G, Q0, -1), sa_keep, rate)
+            sa = sa.reshape(B, GQ, -1)
+        else:
+            sa = sa_mod(q_sa, q_sa, tgt, sa_keep, rate)
+        tgt = nn.LayerNorm(name="norm1")(tgt + drop(sa, _SALT_DROP1))
 
         # cross-attention with precomputed memory K/V (projected + laid out
-        # ONCE in PARQDecoder). bf16 inference runs the fused Pallas kernel
-        # (kernels/cross_attention_pallas.py — no HBM logits); training-
-        # with-dropout and f32 parity runs keep the exact materializing
+        # ONCE in PARQDecoder). bf16 runs the fused Pallas kernel
+        # (kernels/cross_attention_pallas.py — no HBM logits), with
+        # in-kernel dropout reseeded identically in fwd/bwd and one seed
+        # per folded group; f32 parity runs keep the exact materializing
         # softmax.
         cq = nn.DenseGeneral((self.heads, head_dim), dtype=self.dtype,
                              name="cross_attn_query")(tgt + query_pos)
-        cq_h = cq.transpose(0, 2, 1, 3)               # (B, H, Q, D)
+        cq_h = cq.transpose(0, 2, 1, 3)               # (B, H, GQ, D)
         if self.use_flash:
             from ..kernels.cross_attention_pallas import flash_cross_attention
-            rate = 0.0 if det else self.dropout_rate
-            seed = None
-            if rate > 0.0:
-                # in-kernel dropout mask, reseeded identically in fwd/bwd;
-                # one fresh seed per scan iteration (split_rngs)
-                seed = jax.random.randint(
-                    self.make_rng("dropout"), (), 0, 2 ** 31 - 1,
-                    dtype=jnp.int32)
+            seeds = None
+            if not det:
+                seeds = jnp.stack([
+                    jax.random.randint(
+                        jax.random.fold_in(drop_keys[g], _SALT_CA_W), (),
+                        0, 2 ** 31 - 1, dtype=jnp.int32)
+                    for g in range(G)])
             attn = flash_cross_attention(
                 cq_h, k_mem.astype(cq.dtype), v_mem.astype(cq.dtype),
                 k_transposed=True, n_valid=self.kv_valid,
-                dropout_rate=rate, dropout_seed=seed)
+                block_k=1280 if G > 1 else 1920,
+                q_tile=Q0 if G > 1 else None,
+                dropout_rate=0.0 if det else rate, dropout_seed=seeds)
         else:
-            rng = (None if det or self.dropout_rate == 0.0
-                   else self.make_rng("dropout"))
+            ca_keep = None
+            if not det:
+                N = k_mem.shape[2]
+                ca_keep = _grouped_keep(drop_keys, _SALT_CA_W, rate,
+                                        (B, self.heads, Q0, N), 2, G)
             attn = _xla_cross_attention(
                 cq_h, k_mem.astype(cq.dtype), v_mem.astype(cq.dtype),
-                self.dropout_rate, det, rng)
+                rate, ca_keep)
         ca = nn.DenseGeneral(self.dim, axis=(-2, -1), dtype=self.dtype,
                              name="cross_attn_out")(attn.transpose(0, 2, 1, 3))
-        tgt = nn.LayerNorm(name="norm2")(tgt + drop(ca, "dropout2"))
+        tgt = nn.LayerNorm(name="norm2")(tgt + drop(ca, _SALT_DROP2))
 
         ff = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(tgt)
-        ff = drop(nn.relu(ff), "dropout")
+        ff = drop(nn.relu(ff), _SALT_FFN)
         ff = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(ff)
-        tgt = nn.LayerNorm(name="norm3")(tgt + drop(ff, "dropout3"))
+        tgt = nn.LayerNorm(name="norm3")(tgt + drop(ff, _SALT_DROP3))
         return tgt
 
 
 class DecoderIteration(nn.Module):
-    """One recurrence step; scanned with params broadcast (weight sharing)."""
+    """One recurrence step; scanned with params broadcast (weight sharing),
+    or called ONCE with all L iterations folded into the query axis
+    (`n_groups=L`) by the batched-gradient training path."""
     dim: int
     heads: int
     ffn_dim: int
@@ -161,7 +261,8 @@ class DecoderIteration(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, ref_points, inputs):
+    def __call__(self, ref_points, inputs, drop_keys=None,
+                 n_groups: int = 1, refs_only: bool = False):
         memory_hw, camera, T_camera_local, k_mem, v_mem = inputs
         B, T, H, W, C = memory_hw.shape
 
@@ -173,6 +274,7 @@ class DecoderIteration(nn.Module):
         # Default TPU path: XLA-gather forward + Pallas matmul backward
         # (XLA's gather-transpose scatter was 2.1ms/iter in training);
         # use_pallas opts into the fully-fused forward (small-batch win).
+        # Per-point math: folding L iterations into the query axis is free.
         query_metric = denormalize_points(ref_points, self.scale)
         if self.use_pallas:
             from ..kernels.pixel_align_pallas import pixel_aligned_features_pallas
@@ -191,22 +293,32 @@ class DecoderIteration(nn.Module):
                            kv_valid=self.kv_valid,
                            name="layer")(pix.astype(self.dtype),
                                          k_mem, v_mem,
-                                         pos_feat.astype(self.dtype))
+                                         pos_feat.astype(self.dtype),
+                                         drop_keys=drop_keys,
+                                         n_groups=n_groups)
         out = out.astype(jnp.float32)
 
         # MLP heads (shared across iterations via params broadcast;
         # ref: parq_decoder.py:84-132, transformer_parq.py:211-281)
-        cls_logits = HeadMLP((), self.num_semcls + 1,
-                             name="sem_cls_head")(out)
         center_offset = HeadMLP((self.dim, self.dim), 3,
-                                name="center_head")(out)
-        size_scale = HeadMLP((), 3, name="size_head")(out)
-        ortho6d = HeadMLP((self.dim, self.dim), 6,
-                          name="rotation_head")(out)
+                                name="center_head")(out, n_groups=n_groups)
 
         coord_pos = query_metric  # matcher uses input ref points (ref: :278)
         center_norm = jax.nn.sigmoid(center_offset + inverse_sigmoid(ref_points))
         center_unnorm = denormalize_points(center_norm, self.scale)
+        new_ref = jax.lax.stop_gradient(
+            normalize_points(center_unnorm, self.scale))  # ref: :331-332
+
+        if refs_only:
+            # trajectory-only pass (phase 1 of the batched-gradient path):
+            # classification/size/rotation heads don't feed the carry
+            return new_ref
+
+        cls_logits = HeadMLP((), self.num_semcls + 1,
+                             name="sem_cls_head")(out)
+        size_scale = HeadMLP((), 3, name="size_head")(out)
+        ortho6d = HeadMLP((self.dim, self.dim), 6,
+                          name="rotation_head")(out, n_groups=n_groups)
 
         # cls probs under stop_gradient (ref computes them no_grad, :259-265)
         sem_cls_prob = jax.lax.stop_gradient(
@@ -215,9 +327,6 @@ class DecoderIteration(nn.Module):
         pred_cls = jnp.argmax(sem_cls_prob, axis=-1)
         size_unnorm = jnp.exp(size_scale) * jnp.take(mean_size, pred_cls,
                                                      axis=0)
-
-        new_ref = jax.lax.stop_gradient(
-            normalize_points(center_unnorm, self.scale))  # ref: :331-332
 
         outputs = {
             "pred_logits": cls_logits,
@@ -230,6 +339,20 @@ class DecoderIteration(nn.Module):
             "center_valid": center_valid,
         }
         return new_ref, outputs
+
+
+# query axis of each decoder output (for folding/unfolding the batched path)
+_QUERY_AXIS = {"center_im": 2, "center_valid": 2}
+
+
+def _unfold_outputs(outputs: dict, L: int) -> dict:
+    """(B, ..., L·Q, ...) folded stacks → (L, B, ..., Q, ...) scan layout."""
+    def unfold(name, x):
+        ax = _QUERY_AXIS.get(name, 1)
+        gq = x.shape[ax]
+        x = x.reshape(x.shape[:ax] + (L, gq // L) + x.shape[ax + 1:])
+        return jnp.moveaxis(x, ax, 0)
+    return {k: unfold(k, v) for k, v in outputs.items()}
 
 
 class PARQDecoder(nn.Module):
@@ -251,6 +374,7 @@ class PARQDecoder(nn.Module):
     share_weights: bool = True
     use_pallas: bool = False
     use_flash: bool = True
+    batched_grad: bool = True
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -262,6 +386,7 @@ class PARQDecoder(nn.Module):
         camera: Camera (B, T) at feature scale. Poses as in the reference
         (ref: parq_decoder.py:134-163)."""
         B = memory_hw.shape[0]
+        L = self.num_layers
 
         # T_camera_local = T_camera_pseudoCam @ (T_world_pseudoCam⁻¹ @ T_world_local)
         # (ref: transformer_parq.py:298-300)
@@ -321,24 +446,55 @@ class PARQDecoder(nn.Module):
             dtype=self.dtype)
 
         inputs = (memory_hw, camera.data, T_camera_local.data, k_mem, v_mem)
+
+        need_keys = (not deterministic) and self.dropout_rate > 0.0
+        if need_keys:
+            keys = jax.random.split(self.make_rng("dropout"), L)
+        else:
+            keys = jnp.zeros((L, 2), jnp.uint32)  # ignored (det gate)
+        use_keys = need_keys  # static
+
+        batched = (self.batched_grad and not deterministic
+                   and self.share_weights and not self.remat and L > 1)
+        if batched:
+            # Phase 1: sequential trajectory-only pass. new_ref is
+            # stop_gradient-ed inside the iteration, so nothing here is
+            # differentiated (or saved for the backward).
+            it = DecoderIteration(name="iteration", **iter_kwargs)
+            refs = [ref_points]
+            r = ref_points
+            for l in range(L - 1):
+                r = it(r, inputs, keys[l:l + 1] if use_keys else None,
+                       refs_only=True)
+                refs.append(r)
+            ref_all = jnp.concatenate(refs, axis=1)   # (B, L·Q, 3) g-major
+
+            # Phase 2: ONE folded call — the loss-bearing forward, whose
+            # backward is batched over all L iterations.
+            _, outputs = it(ref_all, inputs, keys if use_keys else None,
+                            n_groups=L)
+            return _unfold_outputs(outputs, L)
+
         IterCls = nn.remat(DecoderIteration) if self.remat \
             else DecoderIteration
         if self.share_weights:
             ScanIter = nn.scan(
                 IterCls,
                 variable_broadcast="params",
-                split_rngs={"params": False, "dropout": True},
-                in_axes=nn.broadcast,
+                split_rngs={"params": False},
+                in_axes=(nn.broadcast, 0),
                 out_axes=0,
-                length=self.num_layers,
+                length=L,
             )
             _, outputs = ScanIter(name="iteration", **iter_kwargs)(
-                ref_points, inputs)
+                ref_points, inputs, keys[:, None] if use_keys else None)
         else:
             outs = []
-            for i in range(self.num_layers):
+            for i in range(L):
                 ref_points, o = IterCls(
-                    name=f"iteration_{i}", **iter_kwargs)(ref_points, inputs)
+                    name=f"iteration_{i}", **iter_kwargs)(
+                    ref_points, inputs,
+                    keys[i:i + 1] if use_keys else None)
                 outs.append(o)
             outputs = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs, 0), *outs)

@@ -21,14 +21,23 @@ class GroupNorm1(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, n_groups: int = 1) -> jnp.ndarray:
+        """`n_groups > 1`: the token axis (axis 1) folds n_groups recurrence
+        iterations (decoder batched-grad path); the (N, C) statistics are
+        computed PER GROUP so the folded call matches per-iteration calls."""
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        red = tuple(range(1, x.ndim))  # all but batch
+        if n_groups > 1:
+            shp = x.shape
+            x = x.reshape((shp[0], n_groups, shp[1] // n_groups) + shp[2:])
+        red = tuple(range(2 if n_groups > 1 else 1, x.ndim))
         mean = jnp.mean(x, axis=red, keepdims=True)
         var = jnp.mean(jnp.square(x - mean), axis=red, keepdims=True)
         y = (x - mean) / jnp.sqrt(var + self.eps)
-        return y * scale + bias
+        y = y * scale + bias
+        if n_groups > 1:
+            y = y.reshape(shp)
+        return y
 
 
 class HeadMLP(nn.Module):
@@ -44,10 +53,11 @@ class HeadMLP(nn.Module):
     dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True,
+                 n_groups: int = 1) -> jnp.ndarray:
         for h in self.hidden_dims:
             x = nn.Dense(h, use_bias=False)(x)
-            x = GroupNorm1(h)(x)
+            x = GroupNorm1(h)(x, n_groups=n_groups)
             x = nn.relu(x)
             if self.dropout > 0.0:
                 x = nn.Dropout(self.dropout, deterministic=deterministic)(x)

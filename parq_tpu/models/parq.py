@@ -42,6 +42,7 @@ class PARQModel(nn.Module):
     mean_size: Tuple[Tuple[float, ...], ...] = ()
     use_pallas: bool = False
     use_flash: bool = True   # fused cross-attn kernel (bf16 TPU path only)
+    batched_grad: bool = True  # fold iterations for the training backward
     remat: bool = False
     compute_dtype: str = "float32"   # "bfloat16" for the fast path
 
@@ -76,6 +77,7 @@ class PARQModel(nn.Module):
             mean_size=tuple(tuple(float(v) for v in row) for row in mean),
             use_pallas=use_pallas,
             use_flash=bool(getattr(cfg.TPU, "USE_FLASH_CROSS_ATTN", True)),
+            batched_grad=bool(getattr(cfg.TPU, "BATCHED_GRAD", True)),
             remat=bool(cfg.TPU.REMAT),
             compute_dtype=compute_dtype,
         )
@@ -126,7 +128,7 @@ class PARQModel(nn.Module):
             scale=tuple(self.scale), feat_size=self.feat_size,
             mean_size=self.mean_size, share_weights=self.share_weights,
             use_pallas=self.use_pallas, use_flash=self.use_flash,
-            remat=self.remat, dtype=dtype,
+            batched_grad=self.batched_grad, remat=self.remat, dtype=dtype,
             name="box3d_decoder")(
             memory, camera_feature, T_camera_pseudoCam, T_world_pseudoCam,
             T_world_local, deterministic=deterministic)

@@ -171,3 +171,58 @@ def test_fast_sampling_path_values_and_grads(rng):
     g2 = jax.grad(loss_ref, argnums=(0, 1))(feats, q)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_flash_grouped_seeds_match_per_tile_calls(rng):
+    """A folded call with a (G,) seed vector draws bit-identical dropout to
+    G separate per-tile calls — the decoder's batched-grad path contract —
+    and the folded backward equals the per-tile backwards."""
+    B, H, Q0, D, N, G = 2, 2, 16, 128, 384, 4
+    q = jnp.asarray(rng.randn(B, H, G * Q0, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
+    seeds = jnp.arange(1, G + 1, dtype=jnp.int32)
+
+    folded = flash_cross_attention(q, k, v, block_k=128, dropout_rate=0.3,
+                                   dropout_seed=seeds, interpret=True)
+    per_tile = jnp.concatenate([
+        flash_cross_attention(q[:, :, g * Q0:(g + 1) * Q0], k, v,
+                              block_k=128, dropout_rate=0.3,
+                              dropout_seed=seeds[g], interpret=True)
+        for g in range(G)], axis=2)
+    np.testing.assert_array_equal(np.asarray(folded), np.asarray(per_tile))
+    # dropout is live
+    nodrop = flash_cross_attention(q, k, v, block_k=128, interpret=True)
+    assert float(jnp.abs(folded - nodrop).max()) > 1e-2
+
+    def loss_folded(q, k, v):
+        o = flash_cross_attention(q, k, v, block_k=128, dropout_rate=0.3,
+                                  dropout_seed=seeds, interpret=True)
+        return jnp.sum(o ** 2)
+
+    def loss_per_tile(q, k, v):
+        o = jnp.concatenate([
+            flash_cross_attention(q[:, :, g * Q0:(g + 1) * Q0], k, v,
+                                  block_k=128, dropout_rate=0.3,
+                                  dropout_seed=seeds[g], interpret=True)
+            for g in range(G)], axis=2)
+        return jnp.sum(o ** 2)
+
+    gf = jax.grad(loss_folded, argnums=(0, 1, 2))(q, k, v)
+    gs = jax.grad(loss_per_tile, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_flash_q_tile_split_matches_single_tile(rng):
+    """q_tile grid-splitting (no dropout) is numerically identical to the
+    single-tile kernel."""
+    B, H, Q, D, N = 1, 2, 64, 128, 300
+    q = jnp.asarray(rng.randn(B, H, Q, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
+    a = flash_cross_attention(q, k, v, block_k=128, interpret=True)
+    b = flash_cross_attention(q, k, v, block_k=128, q_tile=16,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
