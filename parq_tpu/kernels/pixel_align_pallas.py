@@ -159,19 +159,55 @@ def _pallas_sample(memory_hw: jnp.ndarray, uvs: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sample_bwd_mem_kernel(uvs_ref, g_ref, out_ref, *, W_img: int, RT: int):
-    """d(memory) for one (b, t, row-tile): the transpose of the sampling
-    matmul — dmem_tile = W_tileᵀ @ g. Replaces XLA's gather-transpose
-    scatter-add, which serializes duplicate indices (measured 105 GiB/s,
-    2.1ms/decoder-iteration at the release shape)."""
+    """d(memory) for one (b, t, row-tile, q-tile): the transpose of the
+    sampling matmul — dmem_tile (+)= W_tileᵀ @ g. Replaces XLA's
+    gather-transpose scatter-add, which serializes duplicate indices
+    (measured 105 GiB/s, 2.1ms/decoder-iteration at the release shape).
+    The q-tile axis is innermost: the output block is revisited
+    consecutively and the contributions of all q-tiles (== all folded
+    decoder iterations on the batched-grad path) accumulate in VMEM."""
     r = pl.program_id(2)
-    w_tile = _build_w_tile(uvs_ref[0, 0], r * RT, RT, W_img)   # (Q, P)
-    g = g_ref[0]                                               # (Q, C)
+    qb = pl.program_id(3)
+    w_tile = _build_w_tile(uvs_ref[0, 0], r * RT, RT, W_img)   # (QT, P)
+    g = g_ref[0]                                               # (QT, C)
     precision = (jax.lax.Precision.HIGHEST
                  if g.dtype == jnp.float32 else None)
-    out_ref[0, 0] = jax.lax.dot_general(
+    contrib = jax.lax.dot_general(
         w_tile.astype(g.dtype), g, (((0,), (0,)), ((), ())),
         precision=precision,
         preferred_element_type=jnp.float32).astype(out_ref.dtype)
+    if pl.num_programs(3) == 1:
+        out_ref[0, 0] = contrib
+    else:
+
+        @pl.when(qb == 0)
+        def _():
+            out_ref[0, 0] = contrib
+
+        @pl.when(qb > 0)
+        def _():
+            out_ref[0, 0] += contrib
+
+
+def _pick_bwd_tiles(H: int, W: int, C: int, Q: int, itemsize: int):
+    """(row-tile, q-tile) for the backward kernel under the v5e VMEM
+    budget: double-buffered g/uvs inputs, the (PT, C) output block, and
+    the wx/wy/w weight intermediates."""
+    budget = 10 * 1024 * 1024
+    qt = Q
+    for cand in (512, 256, 128):
+        if Q > cand and Q % cand == 0:
+            qt = cand
+            break
+    for rt in (30, 20, 15, 12, 10, 8, 6, 5, 4, 3, 2, 1):
+        if H % rt:
+            continue
+        g_bytes = 2 * qt * C * itemsize
+        w_bytes = 3 * qt * rt * W * 4
+        out_bytes = 2 * rt * W * C * itemsize
+        if g_bytes + w_bytes + out_bytes <= budget:
+            return rt, qt
+    return 1, qt
 
 
 def _pallas_sample_bwd_mem(uvs: jnp.ndarray, g: jnp.ndarray,
@@ -179,24 +215,26 @@ def _pallas_sample_bwd_mem(uvs: jnp.ndarray, g: jnp.ndarray,
     """uvs: (B, T, Q, 4); g: (B, Q, C) → dmem (B, T, H, W, C)."""
     B, T, H, W, C = mem_shape
     Q = uvs.shape[2]
-    RT = _pick_row_tile(H, W, C, Q, jnp.dtype(mem_dtype).itemsize)
+    RT, QT = _pick_bwd_tiles(H, W, C, Q, jnp.dtype(mem_dtype).itemsize)
     PT = RT * W
     interpret = jax.default_backend() != "tpu"
     kernel = functools.partial(_sample_bwd_mem_kernel, W_img=W, RT=RT)
     out = pl.pallas_call(
         kernel,
-        grid=(B, T, H // RT),
+        grid=(B, T, H // RT, Q // QT),
         in_specs=[
-            pl.BlockSpec((1, 1, Q, 4), lambda b, t, r: (b, t, 0, 0),
+            pl.BlockSpec((1, 1, QT, 4), lambda b, t, r, qb: (b, t, qb, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Q, C), lambda b, t, r: (b, 0, 0),
+            pl.BlockSpec((1, QT, C), lambda b, t, r, qb: (b, qb, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, PT, C), lambda b, t, r: (b, t, r, 0),
+        out_specs=pl.BlockSpec((1, 1, PT, C),
+                               lambda b, t, r, qb: (b, t, r, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, T, H * W, C), mem_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * T * H * W * Q * C,
             bytes_accessed=(B * T * H * W * C

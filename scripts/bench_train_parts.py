@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--only", default=None,
                     help="comma-separated subset of variants")
+    ap.add_argument("--batched-grad", default=None, choices=["on", "off"],
+                    help="override the decoder batched-gradient path")
     args = ap.parse_args()
     try:
         jax.config.update("jax_compilation_cache_dir",
@@ -46,6 +48,9 @@ def main():
 
     model = _flagship_model()
     model = dataclasses.replace(model, compute_dtype=args.dtype)
+    if args.batched_grad is not None:
+        model = dataclasses.replace(model,
+                                    batched_grad=args.batched_grad == "on")
     batch = _batch(model, args.batch)
     tx = make_optimizer(lambda s: 1e-4)
     state = create_train_state(model, batch, tx, jax.random.PRNGKey(0))
