@@ -384,6 +384,95 @@ def _flash_attn_bwd(block_k, n_valid, rate, q_tile, interpret, res, g):
 _flash_attn.defvjp(_flash_attn_fwd, _flash_attn_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _flash_attn_pre(q, kt, v, seed, o, lse, block_k, n_valid, rate, q_tile,
+                    interpret):
+    """Flash attention with a PRECOMPUTED forward: the primal is `o`
+    (with its rowwise logsumexp `lse`), produced by an earlier identical
+    call — e.g. the decoder's sequential trajectory pass. The backward is
+    the standard flash backward from (q, kt, v, lse), so gradients w.r.t.
+    q/kt/v are exact; the forward kernel never runs again."""
+    return o
+
+
+def _flash_attn_pre_fwd(q, kt, v, seed, o, lse, block_k, n_valid, rate,
+                        q_tile, interpret):
+    return o, (q, kt, v, seed, o, lse)
+
+
+def _flash_attn_pre_bwd(block_k, n_valid, rate, q_tile, interpret, res, g):
+    dq, dkt, dv, dseed = _flash_attn_bwd(block_k, n_valid, rate, q_tile,
+                                         interpret, res, g)
+    return dq, dkt, dv, dseed, jnp.zeros(res[4].shape, res[4].dtype), \
+        jnp.zeros(res[5].shape, res[5].dtype)
+
+
+_flash_attn_pre.defvjp(_flash_attn_pre_fwd, _flash_attn_pre_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_fwd_lse_op(q, kt, v, seed, block_k, n_valid, rate, q_tile,
+                      interpret):
+    return _fwd_call(q, kt, v, seed, block_k, n_valid, rate, q_tile,
+                     interpret, want_lse=True)
+
+
+def _flash_fwd_lse_op_fwd(q, kt, v, seed, block_k, n_valid, rate, q_tile,
+                          interpret):
+    out = _fwd_call(q, kt, v, seed, block_k, n_valid, rate, q_tile,
+                    interpret, want_lse=True)
+    return out, (q, kt, v, seed)
+
+
+def _flash_fwd_lse_op_bwd(block_k, n_valid, rate, q_tile, interpret, res, g):
+    # ZERO gradients by declaration: this op feeds stop-gradient trajectory
+    # passes only; real gradients flow through the precomputed-forward
+    # custom VJP instead. The zero rule exists so reverse-mode tracing can
+    # pass through without a pallas JVP rule.
+    q, kt, v, seed = res
+    return (jnp.zeros_like(q), jnp.zeros_like(kt), jnp.zeros_like(v),
+            np.zeros(seed.shape, dtype=jax.dtypes.float0))
+
+
+_flash_fwd_lse_op.defvjp(_flash_fwd_lse_op_fwd, _flash_fwd_lse_op_bwd)
+
+
+def flash_cross_attention_fwd_lse(q, k, v, *, block_k: int = 1920,
+                                  k_transposed: bool = False,
+                                  n_valid: int = None,
+                                  dropout_rate: float = 0.0,
+                                  dropout_seed=None, q_tile: int = None,
+                                  interpret: bool = None):
+    """Forward-only flash attention that ALSO returns the rowwise logsumexp
+    — the residual needed to later drive the backward via
+    `flash_cross_attention_precomputed`. Declared ZERO gradient (intended
+    for stop-gradient trajectory passes only)."""
+    (q, k, v, seed, block_k, n_valid, rate, q_tile,
+     interpret) = _prep_flash_args(q, k, v, block_k, k_transposed, n_valid,
+                                   dropout_rate, dropout_seed, q_tile,
+                                   interpret)
+    return _flash_fwd_lse_op(q, k, v, seed, block_k, n_valid, rate, q_tile,
+                             interpret)
+
+
+def flash_cross_attention_precomputed(q, k, v, o, lse, *,
+                                      block_k: int = 1920,
+                                      k_transposed: bool = False,
+                                      n_valid: int = None,
+                                      dropout_rate: float = 0.0,
+                                      dropout_seed=None, q_tile: int = None,
+                                      interpret: bool = None):
+    """Differentiable flash attention whose forward kernel is SKIPPED:
+    (o, lse) come from an identical earlier call (same q/k/v/seeds). The
+    custom VJP recomputes p from lse exactly as the normal path."""
+    (q, k, v, seed, block_k, n_valid, rate, q_tile,
+     interpret) = _prep_flash_args(q, k, v, block_k, k_transposed, n_valid,
+                                   dropout_rate, dropout_seed, q_tile,
+                                   interpret)
+    return _flash_attn_pre(q, k, v, seed, o, lse, block_k, n_valid, rate,
+                           q_tile, interpret)
+
+
 def flash_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           *, block_k: int = 1920, k_transposed: bool = False,
                           n_valid: int = None, dropout_rate: float = 0.0,
@@ -412,6 +501,17 @@ def flash_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     Returns:
       (B, H, Q, D) attention output, dtype of q.
     """
+    (q, k, v, seed, block_k, n_valid, rate, q_tile,
+     interpret) = _prep_flash_args(q, k, v, block_k, k_transposed, n_valid,
+                                   dropout_rate, dropout_seed, q_tile,
+                                   interpret)
+    return _flash_attn(q, k, v, seed, block_k, n_valid, rate, q_tile,
+                       interpret)
+
+
+def _prep_flash_args(q, k, v, block_k, k_transposed, n_valid, dropout_rate,
+                     dropout_seed, q_tile, interpret):
+    """Layout/pad/seed normalization shared by all flash entry points."""
     B, H, Q, D = q.shape
     if not k_transposed:
         k = jnp.swapaxes(k, -1, -2)            # (B, H, N, D) → (B, H, D, N)
@@ -438,5 +538,5 @@ def flash_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         q_tile = Q // G
     if q_tile is not None and Q % q_tile:
         raise ValueError(f"Q={Q} not divisible by q_tile={q_tile}")
-    return _flash_attn(q, k, v, seed, block_k, n_valid,
-                       float(dropout_rate), q_tile, bool(interpret))
+    return (q, k, v, seed, block_k, n_valid, float(dropout_rate), q_tile,
+            bool(interpret))

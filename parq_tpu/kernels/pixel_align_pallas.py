@@ -246,16 +246,16 @@ def _pallas_sample_bwd_mem(uvs: jnp.ndarray, g: jnp.ndarray,
     return out.reshape(B, T, H, W, C)
 
 
-@jax.custom_vjp
-def _sample_op_fast(memory_hw, uvs):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _sample_op_fast(memory_hw, uvs, diff_rows):
     return _xla_sample_from_uvs(memory_hw, uvs)
 
 
-def _sample_fast_fwd(memory_hw, uvs):
+def _sample_fast_fwd(memory_hw, uvs, diff_rows):
     return _xla_sample_from_uvs(memory_hw, uvs), (memory_hw, uvs)
 
 
-def _sample_fast_bwd(res, g):
+def _sample_fast_bwd(diff_rows, res, g):
     memory_hw, uvs = res
     # d(memory): Pallas matmul transpose (no scatter). The cotangent is
     # contracted in the MEMORY dtype — an f32 g forces HIGHEST-precision
@@ -264,13 +264,64 @@ def _sample_fast_bwd(res, g):
     dmem = _pallas_sample_bwd_mem(uvs, g.astype(memory_hw.dtype),
                                   memory_hw.shape, memory_hw.dtype)
     # d(uvs): gather-only arithmetic — differentiate w.r.t. uvs alone so
-    # XLA never builds the memory scatter
-    _, vjp = jax.vjp(lambda u: _xla_sample_from_uvs(memory_hw, u), uvs)
-    duvs, = vjp(g.astype(jnp.float32))
+    # XLA never builds the memory scatter. When the caller knows only the
+    # first `diff_rows` query coordinates are differentiable (the decoder's
+    # folded batched-grad call: iterations ≥ 1 enter through stop_gradient-ed
+    # reference points), the coordinate VJP — 4 neighbor re-gathers + f32
+    # weight chains over every row — runs on that slice only.
+    R = uvs.shape[2] if diff_rows is None else min(diff_rows, uvs.shape[2])
+    uvs_d = uvs[:, :, :R]
+    _, vjp = jax.vjp(lambda u: _xla_sample_from_uvs(memory_hw, u), uvs_d)
+    duvs_d, = vjp(g[:, :R].astype(jnp.float32))
+    if R < uvs.shape[2]:
+        duvs = jnp.zeros(uvs.shape, duvs_d.dtype).at[:, :, :R].set(duvs_d)
+    else:
+        duvs = duvs_d
     return dmem, duvs
 
 
 _sample_op_fast.defvjp(_sample_fast_fwd, _sample_fast_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _sample_op_pre(memory_hw, uvs, out, diff_rows):
+    """Sampling with a PRECOMPUTED forward: the primal is `out`, produced
+    by an identical earlier call (the decoder's trajectory pass). The
+    backward is `_sample_fast_bwd` from (memory, uvs), so gradients are
+    exact and the forward gathers never run again."""
+    return out
+
+
+def _sample_pre_fwd(memory_hw, uvs, out, diff_rows):
+    return out, (memory_hw, uvs)
+
+
+def _sample_pre_bwd(diff_rows, res, g):
+    dmem, duvs = _sample_fast_bwd(diff_rows, res, g)
+    return dmem, duvs, jnp.zeros(g.shape, g.dtype)
+
+
+_sample_op_pre.defvjp(_sample_pre_fwd, _sample_pre_bwd)
+
+
+def pixel_aligned_features_precomputed(
+    memory_hw: jnp.ndarray,
+    query_pos: jnp.ndarray,
+    T_camera_local: Pose,
+    camera: Camera,
+    feat_size: Tuple[int, int],
+    feats_pre: jnp.ndarray,
+    diff_rows: int = None,
+):
+    """`pixel_aligned_features_fast` with the forward gathers skipped:
+    `feats_pre` is the (B, Q, C) output of an identical earlier call. The
+    projection reruns (cheap, keeps query-coordinate gradients exact) and
+    the backward is the standard fast-path backward."""
+    uvs, center_im, center_valid = _project_uvs(query_pos, T_camera_local,
+                                                camera)
+    feats = _sample_op_pre(memory_hw, uvs,
+                           feats_pre.astype(jnp.float32), diff_rows)
+    return feats.astype(memory_hw.dtype), center_im, center_valid
 
 
 def pixel_aligned_features_fast(
@@ -280,6 +331,7 @@ def pixel_aligned_features_fast(
     camera: Camera,
     feat_size: Tuple[int, int],
     force: bool = False,
+    diff_rows: int = None,
 ):
     """Training-default sampling path on TPU: XLA-gather FORWARD (fastest
     at batch ≥ 4 — the fully-fused Pallas forward only wins at small batch)
@@ -288,13 +340,18 @@ def pixel_aligned_features_fast(
     Same contract as ops.pixel_align.pixel_aligned_features; the view-mean
     scale folds into the per-view weights (sum of scaled views) instead of
     a post-division — bitwise-identical in exact math, ~1 ulp apart in fp.
+
+    `diff_rows`: static count of query rows whose COORDINATES are
+    differentiable (None = all). The coordinate VJP is skipped for the
+    rest — exact when those rows' positions are stop_gradient-ed upstream.
     """
     if jax.default_backend() != "tpu" and not force:
         return _xla_reference(memory_hw, query_pos, T_camera_local, camera,
                               feat_size)
     uvs, center_im, center_valid = _project_uvs(query_pos, T_camera_local,
                                                 camera)
-    feats = _sample_op_fast(memory_hw, uvs).astype(memory_hw.dtype)
+    feats = _sample_op_fast(memory_hw, uvs,
+                            diff_rows).astype(memory_hw.dtype)
     return feats, center_im, center_valid
 
 

@@ -166,7 +166,12 @@ class DecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, tgt: jnp.ndarray, k_mem: jnp.ndarray,
                  v_mem: jnp.ndarray, query_pos: jnp.ndarray,
-                 drop_keys=None, n_groups: int = 1) -> jnp.ndarray:
+                 drop_keys=None, n_groups: int = 1,
+                 aux_out: bool = False, precomputed=None):
+        """`aux_out`: also return {"attn_o", "attn_lse"} (flash path) so a
+        later folded call can skip its attention forward. `precomputed`:
+        that dict (stacked/folded) — the attention forward kernel is
+        skipped and only the flash backward runs (gradients exact)."""
         rate = self.dropout_rate
         det = self.deterministic or rate == 0.0 or drop_keys is None
         head_dim = self.dim // self.heads
@@ -207,8 +212,11 @@ class DecoderLayer(nn.Module):
         cq = nn.DenseGeneral((self.heads, head_dim), dtype=self.dtype,
                              name="cross_attn_query")(tgt + query_pos)
         cq_h = cq.transpose(0, 2, 1, 3)               # (B, H, GQ, D)
+        aux = None
         if self.use_flash:
-            from ..kernels.cross_attention_pallas import flash_cross_attention
+            from ..kernels.cross_attention_pallas import (
+                flash_cross_attention, flash_cross_attention_fwd_lse,
+                flash_cross_attention_precomputed)
             seeds = None
             if not det:
                 seeds = jnp.stack([
@@ -216,12 +224,25 @@ class DecoderLayer(nn.Module):
                         jax.random.fold_in(drop_keys[g], _SALT_CA_W), (),
                         0, 2 ** 31 - 1, dtype=jnp.int32)
                     for g in range(G)])
-            attn = flash_cross_attention(
-                cq_h, k_mem.astype(cq.dtype), v_mem.astype(cq.dtype),
+            kwargs = dict(
                 k_transposed=True, n_valid=self.kv_valid,
                 block_k=1280 if G > 1 else 1920,
                 q_tile=Q0 if G > 1 else None,
                 dropout_rate=0.0 if det else rate, dropout_seed=seeds)
+            if precomputed is not None:
+                attn = flash_cross_attention_precomputed(
+                    cq_h, k_mem.astype(cq.dtype), v_mem.astype(cq.dtype),
+                    precomputed["attn_o"].astype(cq.dtype),
+                    precomputed["attn_lse"], **kwargs)
+            elif aux_out:
+                attn, lse = flash_cross_attention_fwd_lse(
+                    cq_h, k_mem.astype(cq.dtype), v_mem.astype(cq.dtype),
+                    **kwargs)
+                aux = {"attn_o": attn, "attn_lse": lse}
+            else:
+                attn = flash_cross_attention(
+                    cq_h, k_mem.astype(cq.dtype), v_mem.astype(cq.dtype),
+                    **kwargs)
         else:
             ca_keep = None
             if not det:
@@ -239,6 +260,8 @@ class DecoderLayer(nn.Module):
         ff = drop(nn.relu(ff), _SALT_FFN)
         ff = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(ff)
         tgt = nn.LayerNorm(name="norm3")(tgt + drop(ff, _SALT_DROP3))
+        if aux_out:
+            return tgt, aux
         return tgt
 
 
@@ -258,11 +281,13 @@ class DecoderIteration(nn.Module):
     use_pallas: bool = False
     use_flash: bool = False   # resolved by PARQDecoder (gate + layout prep)
     kv_valid: Optional[int] = None
+    sampler_force: bool = False  # tests: force the fast sampler off-TPU
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, ref_points, inputs, drop_keys=None,
-                 n_groups: int = 1, refs_only: bool = False):
+                 n_groups: int = 1, refs_only: bool = False,
+                 precomputed=None):
         memory_hw, camera, T_camera_local, k_mem, v_mem = inputs
         B, T, H, W, C = memory_hw.shape
 
@@ -276,7 +301,19 @@ class DecoderIteration(nn.Module):
         # use_pallas opts into the fully-fused forward (small-batch win).
         # Per-point math: folding L iterations into the query axis is free.
         query_metric = denormalize_points(ref_points, self.scale)
-        if self.use_pallas:
+        # folded call: only group 0 (= iteration 0, the learned reference
+        # points) has differentiable query coordinates — iterations ≥ 1
+        # enter through stop_gradient-ed refs, so their coordinate VJP
+        # is skipped (exact; d(memory) is still computed for all rows)
+        diff_rows = (ref_points.shape[1] // n_groups
+                     if n_groups > 1 else None)
+        if precomputed is not None:
+            from ..kernels.pixel_align_pallas import (
+                pixel_aligned_features_precomputed)
+            pix, center_im, center_valid = pixel_aligned_features_precomputed(
+                memory_hw, query_metric, Pose(T_camera_local), Camera(camera),
+                self.feat_size, precomputed["pix"], diff_rows=diff_rows)
+        elif self.use_pallas:
             from ..kernels.pixel_align_pallas import pixel_aligned_features_pallas
             pix, center_im, center_valid = pixel_aligned_features_pallas(
                 memory_hw, query_metric, Pose(T_camera_local), Camera(camera),
@@ -285,17 +322,24 @@ class DecoderIteration(nn.Module):
             from ..kernels.pixel_align_pallas import pixel_aligned_features_fast
             pix, center_im, center_valid = pixel_aligned_features_fast(
                 memory_hw, query_metric, Pose(T_camera_local), Camera(camera),
-                self.feat_size)
+                self.feat_size, force=self.sampler_force,
+                diff_rows=diff_rows)
 
-        out = DecoderLayer(self.dim, self.heads, self.ffn_dim,
-                           self.dropout_rate, self.deterministic,
-                           dtype=self.dtype, use_flash=self.use_flash,
-                           kv_valid=self.kv_valid,
-                           name="layer")(pix.astype(self.dtype),
-                                         k_mem, v_mem,
-                                         pos_feat.astype(self.dtype),
-                                         drop_keys=drop_keys,
-                                         n_groups=n_groups)
+        layer_out = DecoderLayer(self.dim, self.heads, self.ffn_dim,
+                                 self.dropout_rate, self.deterministic,
+                                 dtype=self.dtype, use_flash=self.use_flash,
+                                 kv_valid=self.kv_valid,
+                                 name="layer")(pix.astype(self.dtype),
+                                               k_mem, v_mem,
+                                               pos_feat.astype(self.dtype),
+                                               drop_keys=drop_keys,
+                                               n_groups=n_groups,
+                                               aux_out=refs_only,
+                                               precomputed=precomputed)
+        if refs_only:
+            out, attn_aux = layer_out
+        else:
+            out, attn_aux = layer_out, None
         out = out.astype(jnp.float32)
 
         # MLP heads (shared across iterations via params broadcast;
@@ -311,8 +355,14 @@ class DecoderIteration(nn.Module):
 
         if refs_only:
             # trajectory-only pass (phase 1 of the batched-gradient path):
-            # classification/size/rotation heads don't feed the carry
-            return new_ref
+            # classification/size/rotation heads don't feed the carry.
+            # Aux carries the expensive forward products (sampled features,
+            # attention output + logsumexp) so the folded call can skip
+            # recomputing them.
+            aux = {"pix": pix}
+            if attn_aux is not None:
+                aux.update(attn_aux)
+            return new_ref, aux
 
         cls_logits = HeadMLP((), self.num_semcls + 1,
                              name="sem_cls_head")(out)
@@ -376,6 +426,7 @@ class PARQDecoder(nn.Module):
     use_flash: bool = True
     batched_grad: bool = True
     remat: bool = False
+    force_kernels: bool = False  # tests: run flash/fast-sampler off-TPU
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -425,8 +476,9 @@ class PARQDecoder(nn.Module):
         # with in-kernel dropout; f32 keeps the exact XLA softmax for
         # checkpoint-parity runs)
         flash = (self.use_flash
-                 and jax.default_backend() == "tpu"
-                 and self.dtype == jnp.bfloat16
+                 and (self.force_kernels
+                      or (jax.default_backend() == "tpu"
+                          and self.dtype == jnp.bfloat16))
                  and head_dim % 128 == 0 and self.num_queries % 8 == 0)
         kv_valid = None
         if flash:
@@ -443,7 +495,7 @@ class PARQDecoder(nn.Module):
             scale=tuple(self.scale), feat_size=tuple(self.feat_size),
             mean_size=mean_size, deterministic=deterministic,
             use_pallas=self.use_pallas, use_flash=flash, kv_valid=kv_valid,
-            dtype=self.dtype)
+            sampler_force=self.force_kernels, dtype=self.dtype)
 
         inputs = (memory_hw, camera.data, T_camera_local.data, k_mem, v_mem)
 
@@ -457,22 +509,44 @@ class PARQDecoder(nn.Module):
         batched = (self.batched_grad and not deterministic
                    and self.share_weights and not self.remat and L > 1)
         if batched:
-            # Phase 1: sequential trajectory-only pass. new_ref is
-            # stop_gradient-ed inside the iteration, so nothing here is
-            # differentiated (or saved for the backward).
+            # Phase 1: sequential trajectory pass over ALL L iterations.
+            # new_ref is stop_gradient-ed inside the iteration, so nothing
+            # here is differentiated; besides the reference-point
+            # trajectory it collects each iteration's expensive forward
+            # products (sampled features; flash attention output +
+            # logsumexp), which the folded call reuses instead of
+            # recomputing — its backward reconstructs everything it needs
+            # from (q, k, v, lse) alone.
             it = DecoderIteration(name="iteration", **iter_kwargs)
             refs = [ref_points]
-            r = ref_points
-            for l in range(L - 1):
-                r = it(r, inputs, keys[l:l + 1] if use_keys else None,
-                       refs_only=True)
-                refs.append(r)
+            # phase 1 is entirely outside the differentiation path: its
+            # trajectory/aux outputs are consumed through stop_gradient, and
+            # severing the INPUTS too keeps JAX from tracing tangents into
+            # the forward-only kernels (which have no JVP rules). Phase 2
+            # owns every gradient, including iteration 0's refpoint.
+            inputs_sg = jax.lax.stop_gradient(inputs)
+            r = jax.lax.stop_gradient(ref_points)
+            auxes = []
+            for l in range(L):
+                r, aux = it(r, inputs_sg,
+                            keys[l:l + 1] if use_keys else None,
+                            refs_only=True)
+                auxes.append(aux)
+                if l < L - 1:
+                    refs.append(r)
             ref_all = jnp.concatenate(refs, axis=1)   # (B, L·Q, 3) g-major
+            # fold the aux along the query axis (g-major, like ref_all) and
+            # sever it from the graph: its dependence on params/memory is
+            # accounted for by the precomputed-forward custom VJPs.
+            fold_axis = {"pix": 1, "attn_o": 2, "attn_lse": 2}
+            pre = {k: jax.lax.stop_gradient(
+                jnp.concatenate([a[k] for a in auxes], axis=fold_axis[k]))
+                for k in auxes[0]}
 
             # Phase 2: ONE folded call — the loss-bearing forward, whose
             # backward is batched over all L iterations.
             _, outputs = it(ref_all, inputs, keys if use_keys else None,
-                            n_groups=L)
+                            n_groups=L, precomputed=pre)
             return _unfold_outputs(outputs, L)
 
         IterCls = nn.remat(DecoderIteration) if self.remat \

@@ -118,3 +118,49 @@ def test_batched_grad_gate_respects_remat_and_unshared(rng):
     params = m.init(jax.random.PRNGKey(0), *scene, deterministic=False)
     out = m.apply(params, *scene, deterministic=False)
     assert out["pred_logits"].shape == (2, B, Q, 4)
+
+
+def test_batched_grad_with_forced_kernels(rng):
+    """Batched path with the REAL kernel stack (flash attention + fast
+    sampler, interpret mode) and phase-1 aux reuse: outputs and gradients
+    == the scan path with the same kernels."""
+    scene = _scene(rng)
+    key = jax.random.PRNGKey(3)
+    C2 = 256  # head_dim must be a lane multiple for the flash gate
+
+    def dec(batched):
+        return PARQDecoder(dim=C2, heads=2, ffn_dim=16, num_layers=L,
+                           dropout_rate=0.3, num_queries=Q, num_semcls=3,
+                           feat_size=(W, H), batched_grad=batched,
+                           use_flash=True, force_kernels=True)
+
+    mem = jnp.asarray(np.random.RandomState(1).randn(
+        B, T, H, W, C2).astype(np.float32))
+    scene = (mem,) + scene[1:]
+    m1, m2 = dec(False), dec(True)
+    params = m1.init({"params": jax.random.PRNGKey(0), "dropout": key},
+                     *scene, deterministic=False)
+    o1 = _outputs(m1, params, scene, key)
+    o2 = _outputs(m2, params, scene, key)
+    for k in o1:
+        np.testing.assert_allclose(np.asarray(o1[k], np.float32),
+                                   np.asarray(o2[k], np.float32),
+                                   atol=2e-4, err_msg=k)
+
+    def loss(m, p, mem_):
+        out = m.apply(p, mem_, *scene[1:], deterministic=False,
+                      rngs={"dropout": key})
+        return sum(jnp.sum(out[k] ** 2) for k in
+                   ("pred_logits", "center_unnormalized", "ortho6d",
+                    "size_unnormalized"))
+
+    g1 = jax.grad(lambda p, m_: loss(m1, p, m_), argnums=(0, 1))(params, mem)
+    g2 = jax.grad(lambda p, m_: loss(m2, p, m_), argnums=(0, 1))(params, mem)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g2[1]),
+                               atol=5e-2, rtol=1e-4)
+    for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(g1[0]),
+                            jax.tree_util.tree_leaves(g2[0])):
+        na = float(jnp.linalg.norm(a))
+        nd = float(jnp.linalg.norm(a - b))
+        assert nd <= 2e-4 * max(na, 1.0) + 1e-3, \
+            f"{jax.tree_util.keystr(path)}: |Δ|={nd} vs |g|={na}"
