@@ -59,18 +59,27 @@ def measure(fwd, batch, iters: int = 30, warmup: int = 1) -> float:
     """Steady-state device throughput: the forward runs `iters` times
     inside ONE jitted lax.fori_loop (per-call dispatch through the axon
     tunnel costs ~1ms and would understate the chip). The carry sums every
-    output leaf so XLA cannot prune any part of the model."""
+    output leaf so XLA cannot prune any part of the model.
+
+    Each iteration reads a DIFFERENT input image (dynamic-sliced from a
+    2-deep buffer by the loop index) so the forward is loop-variant and
+    cannot be hoisted — but iterations stay data-independent, exactly like
+    a real eval stream over distinct batches. (An earlier protocol fed the
+    previous iteration's output sum back into the input; that false serial
+    dependency blocked XLA's cross-step DMA/compute overlap and understated
+    the chip by ~25%.)"""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def run(batch):
+        rgb2 = jnp.stack([batch["rgb_img"],
+                          batch["rgb_img"][::-1]])  # (2, B, T, ...)
+
         def body(i, acc):
-            # sub-ulp additive perturbation makes the body loop-carried so
-            # XLA cannot hoist the forward out of the loop (it folds `x*0`)
             b = dict(batch)
-            b["rgb_img"] = b["rgb_img"] + (acc * 1e-24).astype(
-                b["rgb_img"].dtype)
+            b["rgb_img"] = jax.lax.dynamic_index_in_dim(
+                rgb2, i % 2, keepdims=False)
             out = fwd(b)
             s = sum(jnp.sum(leaf.astype(jnp.float32))
                     for leaf in jax.tree_util.tree_leaves(out))
