@@ -42,7 +42,12 @@ class ScanNetDataset:
         self.gravity_aligned = gravity_aligned
         self._cache: Dict[str, object] = {}
         self.max_cache = max_cache
-        self.rng = np.random.RandomState(seed)
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Epoch-dependent frame subsampling (called by SnippetLoader)."""
+        self.epoch = int(epoch)
 
     def __len__(self):
         return len(self.item_list)
@@ -68,9 +73,13 @@ class ScanNetDataset:
 
         n = len(image_ids)
         if self.num_frames != n:
-            # sorted random subsample (ref: scannet_dataset.py:138-144),
-            # seed-controlled instead of global np.random
-            choose = np.sort(self.rng.choice(
+            # sorted random subsample (ref: scannet_dataset.py:138-144).
+            # Per-(seed, epoch, item) RNG instead of the reference's global
+            # np.random: reproducible, and identical whether items are built
+            # in-process, in a prefetch thread, or in worker processes.
+            rng = np.random.RandomState(
+                (self.seed * 1000003 + self.epoch * 7919 + idx) % (2**31 - 1))
+            choose = np.sort(rng.choice(
                 n, self.num_frames, replace=self.num_frames > n))
             image_ids = [image_ids[c] for c in choose]
             T_scan_camera = [T_scan_camera[c] for c in choose]
@@ -173,6 +182,89 @@ class _Prefetcher:
         self._stop.set()
 
 
+def _worker_loop(dataset, order, batch_size, epoch, task_q, res_q):
+    """Worker-process body: pull batch indices, build+collate, push back.
+    Module-level so the spawn context can pickle it."""
+    getattr(dataset, "set_epoch", lambda e: None)(epoch)
+    while True:
+        b = task_q.get()
+        if b is None:
+            return
+        try:
+            idxs = order[b * batch_size:(b + 1) * batch_size]
+            res_q.put((b, collate([dataset[int(i)] for i in idxs])))
+        except BaseException as e:  # forwarded to the consumer
+            res_q.put((b, _WorkerError(repr(e))))
+
+
+class _WorkerError:
+    def __init__(self, msg: str):
+        self.msg = msg
+
+
+class _ProcessPrefetcher:
+    """Multi-process batch producer (the reference's DataLoader
+    `num_workers` equivalent, ref: datasets/scannet_dataset.py:36-42).
+
+    Batch-level parallelism: each worker builds whole batches; the parent
+    reorders results so iteration order is identical to the synchronous
+    path (item-level RNG is per-(seed, epoch, index), so contents match
+    too). Spawn context — workers never inherit live TPU/JAX state."""
+
+    def __init__(self, dataset, order, batch_size, epoch,
+                 start: int, stop_idx: int, workers: int, depth: int):
+        import multiprocessing as mp
+        ctx = mp.get_context("spawn")
+        self._task_q = ctx.Queue()
+        self._res_q = ctx.Queue()
+        self._procs = [
+            ctx.Process(target=_worker_loop,
+                        args=(dataset, order, batch_size, epoch,
+                              self._task_q, self._res_q),
+                        daemon=True)
+            for _ in range(max(workers, 1))]
+        for p in self._procs:
+            p.start()
+        self._next_submit = start
+        self._stop_idx = stop_idx
+        self._inflight = 0
+        self._max_inflight = len(self._procs) + max(depth, 0)
+        self._buffer = {}
+        self._next_yield = start
+        self._fill()
+
+    def _fill(self):
+        while (self._inflight < self._max_inflight
+               and self._next_submit < self._stop_idx):
+            self._task_q.put(self._next_submit)
+            self._next_submit += 1
+            self._inflight += 1
+
+    def __iter__(self):
+        try:
+            while self._next_yield < self._stop_idx:
+                while self._next_yield not in self._buffer:
+                    b, item = self._res_q.get()
+                    if isinstance(item, _WorkerError):
+                        raise RuntimeError(
+                            f"data worker failed on batch {b}: {item.msg}")
+                    self._buffer[b] = item
+                    self._inflight -= 1
+                    self._fill()
+                yield self._buffer.pop(self._next_yield)
+                self._next_yield += 1
+        finally:
+            self.stop()
+
+    def stop(self):
+        for p in self._procs:
+            if p.is_alive():
+                p.terminate()
+        for p in self._procs:
+            p.join(timeout=5)
+        self._procs = []
+
+
 class SnippetLoader:
     """Resumable epoch iterator: shuffle, drop_last, stateful position.
 
@@ -185,7 +277,7 @@ class SnippetLoader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, seed: int = 0,
                  process_index: int = 0, process_count: int = 1,
-                 prefetch: int = 2):
+                 prefetch: int = 2, num_workers: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -194,6 +286,7 @@ class SnippetLoader:
         self.process_index = process_index
         self.process_count = max(process_count, 1)
         self.prefetch = prefetch   # background-decode queue depth; 0 = sync
+        self.num_workers = num_workers  # >0: decode in worker processes
         self.epoch = 0
         self.position = 0  # batch index within epoch
         self._producer = None
@@ -223,12 +316,21 @@ class SnippetLoader:
         return collate([self.dataset[int(i)] for i in idxs])
 
     def __iter__(self):
+        getattr(self.dataset, "set_epoch", lambda e: None)(self.epoch)
         order = self._order()
         nb = len(self)
         if self._producer is not None:       # abandoned previous iterator
             self._producer.stop()
             self._producer = None
-        if self.prefetch > 0:
+        if self.num_workers > 0:
+            self._producer = _ProcessPrefetcher(
+                self.dataset, order, self.batch_size, self.epoch,
+                self.position, nb, self.num_workers, self.prefetch)
+            for batch in self._producer:
+                self.position += 1
+                yield batch
+            self._producer = None
+        elif self.prefetch > 0:
             # background decode thread: JPEG/pickle work overlaps the
             # device step (the reference uses DataLoader worker processes;
             # a thread suffices — PIL/np release the GIL in C code).

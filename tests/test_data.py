@@ -213,3 +213,40 @@ def test_prefetch_loader_matches_sync(tmp_path):
     sync2 = SnippetLoader(ds, batch_size=2, shuffle=True, seed=5, prefetch=0)
     expect = [b["snippet_id"] for b in sync2]
     assert [first["snippet_id"]] + rest == expect
+
+
+def test_process_worker_loader_matches_sync():
+    """num_workers>0 (multiprocessing decode) yields identical batches in
+    identical order to the synchronous path."""
+    import numpy as np
+    from parq_tpu.data.scannet import SnippetLoader
+    from parq_tpu.data.synthetic import SyntheticDataset
+
+    ds = SyntheticDataset(6, image_size=(64, 48), seed=0)
+    sync = SnippetLoader(ds, batch_size=2, shuffle=True, seed=5, prefetch=0)
+    proc = SnippetLoader(ds, batch_size=2, shuffle=True, seed=5,
+                         num_workers=2, prefetch=2)
+    sync_batches = list(sync)
+    proc_batches = list(proc)
+    assert len(sync_batches) == len(proc_batches) == 3
+    for a, b in zip(sync_batches, proc_batches):
+        assert a["snippet_id"] == b["snippet_id"]
+        np.testing.assert_array_equal(a["rgb_img"], b["rgb_img"])
+    assert sync.epoch == proc.epoch == 1
+
+
+def test_frame_subsample_epoch_and_process_determinism(fake_scannet):
+    """Per-(seed, epoch, item) subsampling: same epoch → same choice from
+    any process; different epoch → (generally) different choice."""
+    root, gt_path = fake_scannet
+    ds = ScanNetDataset(root, gt_path, num_frames_per_snippet=2,
+                        image_size=(32, 24), seed=1)
+    a = ds[0]["rgb_img"]
+    b = ds[0]["rgb_img"]
+    np.testing.assert_array_equal(a, b)
+    picks = []
+    for epoch in range(8):
+        ds.set_epoch(epoch)
+        picks.append(tuple(np.round(
+            ds[0]["rgb_img"].sum(axis=(1, 2, 3)), 4)))
+    assert len(set(picks)) > 1

@@ -20,7 +20,13 @@ def build_loaders(cfg):
     # per-host shard of the epoch order (multi-process runs; the
     # DistributedSampler equivalent — ref: train.py:115 replace_sampler_ddp)
     host = dict(process_index=jax.process_index(),
-                process_count=jax.process_count())
+                process_count=jax.process_count(),
+                # DATAMODULE.NUM_WORKERS (ref: datasets/scannet_dataset.py:28).
+                # NUM_WORKERS<=1 uses the in-process prefetch thread (covers
+                # the reference's single worker); >1 decodes batches in that
+                # many worker processes
+                num_workers=(0 if int(dm.get("NUM_WORKERS", 1)) <= 1
+                             else int(dm.NUM_WORKERS)))
     if dm.DATASET == "arkitscenes":
         from parq_tpu.data.arkitscenes import ARKitScenesDataset
         train_ds = ARKitScenesDataset(
