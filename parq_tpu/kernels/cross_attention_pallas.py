@@ -85,7 +85,7 @@ def _fwd_kernel(seed_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr, *,
                 sm_scale: float, block_k: int, q_tile: int, n_valid: int,
                 n_total: int, rate: float, groups: int, want_lse: bool,
-                interpret: bool):
+                kv_nc: bool, interpret: bool):
     nb = pl.program_id(2)
     qb = pl.program_id(3)
 
@@ -96,13 +96,29 @@ def _fwd_kernel(seed_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref,
         acc_scr[qb] = jnp.zeros_like(acc_scr[qb])
 
     q = q_ref[0, 0]                                   # (QT, D)
-    kt = kt_ref[0, 0]                                 # (D, BK)
-    v = v_ref[0, 0]                                   # (BK, D)
+    if kv_nc:
+        # K/V arrive (B, N, H·D) — the projection's natural layout, no
+        # relayout/pad outside. k block (BK, D); NT dot (contraction on
+        # lanes of both operands — same form the backward already uses).
+        k = kt_ref[0]                                 # (BK, D)
+        v = v_ref[0]                                  # (BK, D)
+        if n_valid < n_total:
+            # partial last block: zero the OOB rows (their VMEM content is
+            # undefined; a NaN would poison 0·v in the PV matmul)
+            row = nb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, v.shape, 0)
+            v = jnp.where(row < n_valid, v, 0)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale  # (QT, BK)
+    else:
+        kt = kt_ref[0, 0]                             # (D, BK)
+        v = v_ref[0, 0]                               # (BK, D)
 
-    # both dots are MXU-canonical: contraction dim is lhs-lane / rhs-sublane
-    s = jax.lax.dot_general(
-        q, kt, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * sm_scale  # (QT, BK) f32
+        # MXU-canonical: contraction dim is lhs-lane / rhs-sublane
+        s = jax.lax.dot_general(
+            q, kt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale  # (QT, BK) f32
 
     # mask the zero-padded tail of the KV axis (static n_valid)
     if n_valid < n_total:
@@ -143,7 +159,8 @@ def _fwd_kernel(seed_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref,
 def _bwd_kernel(seed_ref, q_ref, kt_ref, v_ref, do_ref, lse_ref, delta_ref,
                 dq_ref, dkt_ref, dv_ref, dq_scr, *,
                 sm_scale: float, block_k: int, q_tile: int, n_valid: int,
-                n_total: int, rate: float, groups: int, interpret: bool):
+                n_total: int, rate: float, groups: int, kv_nc: bool,
+                interpret: bool):
     """Flash backward per (b, h, kv-block, q-tile):
       p  = exp(s - lse)              (recomputed, no stored weights)
       w  = p * keep / (1-rate)       (the actual forward weights)
@@ -161,15 +178,33 @@ def _bwd_kernel(seed_ref, q_ref, kt_ref, v_ref, do_ref, lse_ref, delta_ref,
         dq_scr[qb] = jnp.zeros_like(dq_scr[qb])
 
     q = q_ref[0, 0]                                   # (QT, D)
-    kt = kt_ref[0, 0]                                 # (D, BK)
-    v = v_ref[0, 0]                                   # (BK, D)
+    if kv_nc:
+        k = kt_ref[0]                                 # (BK, D)
+        v = v_ref[0]                                  # (BK, D)
+        if n_valid < n_total:
+            # zero OOB rows: k feeds the dq NN-matmul and v feeds dw,
+            # where a NaN would poison exact-zero ds/w columns
+            row = nb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, v.shape, 0)
+            k = jnp.where(row < n_valid, k, 0)
+            v = jnp.where(row < n_valid, v, 0)
+        kt = None
+    else:
+        k = None
+        kt = kt_ref[0, 0]                             # (D, BK)
+        v = v_ref[0, 0]                               # (BK, D)
     do = do_ref[0, 0]                                 # (QT, D)
     lse = lse_ref[0, 0][:, 0:1]                       # (QT, 1)
     delta = delta_ref[0, 0][:, 0:1]                   # (QT, 1)
 
-    s = jax.lax.dot_general(
-        q, kt, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * sm_scale
+    if kv_nc:
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+    else:
+        s = jax.lax.dot_general(
+            q, kt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
     if n_valid < n_total:
         kv_idx = nb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, 1)
@@ -189,29 +224,50 @@ def _bwd_kernel(seed_ref, q_ref, kt_ref, v_ref, do_ref, lse_ref, delta_ref,
     ds_c = ds.astype(q.dtype)
     w_c = w.astype(do.dtype)
 
-    dq_scr[qb] += jax.lax.dot_general(
-        ds_c, kt, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)           # (QT, D)
-    dkt_blk = jax.lax.dot_general(
-        q, ds_c, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dkt_ref.dtype)  # (D, BK)
+    if kv_nc:
+        dq_scr[qb] += jax.lax.dot_general(
+            ds_c, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (QT, D)
+        dkt_blk = jax.lax.dot_general(
+            ds_c, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dkt_ref.dtype)
+    else:
+        dq_scr[qb] += jax.lax.dot_general(
+            ds_c, kt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (QT, D)
+        dkt_blk = jax.lax.dot_general(
+            q, ds_c, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dkt_ref.dtype)
     dv_blk = jax.lax.dot_general(
         w_c, do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dv_ref.dtype)   # (BK, D)
+    def store(first: bool):
+        if kv_nc:
+            if first:
+                dkt_ref[0] = dkt_blk
+                dv_ref[0] = dv_blk
+            else:
+                dkt_ref[0] += dkt_blk
+                dv_ref[0] += dv_blk
+        else:
+            if first:
+                dkt_ref[0, 0] = dkt_blk
+                dv_ref[0, 0] = dv_blk
+            else:
+                dkt_ref[0, 0] += dkt_blk
+                dv_ref[0, 0] += dv_blk
+
     if pl.num_programs(3) == 1:
-        dkt_ref[0, 0] = dkt_blk
-        dv_ref[0, 0] = dv_blk
+        store(True)
     else:
 
         @pl.when(qb == 0)
         def _():
-            dkt_ref[0, 0] = dkt_blk
-            dv_ref[0, 0] = dv_blk
+            store(True)
 
         @pl.when(qb > 0)
         def _():
-            dkt_ref[0, 0] += dkt_blk
-            dv_ref[0, 0] += dv_blk
+            store(False)
 
     @pl.when(nb == pl.num_programs(2) - 1)
     def _():
@@ -244,10 +300,26 @@ def pad_kv_for_flash(k_t: jnp.ndarray, v: jnp.ndarray,
     return k_t, v
 
 
+def _kv_specs(kv_nc: bool, block_k: int, D: int):
+    """Block specs for (K-or-Kᵀ, V) under the two supported layouts."""
+    if kv_nc:   # (B, N, H·D): block (1, BK, D), head h = lane offset h·D
+        spec = pl.BlockSpec((1, block_k, D), lambda b, h, n, t: (b, n, h),
+                            memory_space=pltpu.VMEM)
+        return [spec, spec]
+    return [
+        pl.BlockSpec((1, 1, D, block_k), lambda b, h, n, t: (b, h, 0, n),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, block_k, D), lambda b, h, n, t: (b, h, n, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
 def _fwd_call(q, kt, v, seed, block_k, n_valid, rate, q_tile, interpret,
               want_lse):
     B, H, Q, D = q.shape
-    nb = kt.shape[-1] // block_k
+    kv_nc = kt.ndim == 3
+    N = kt.shape[1] if kv_nc else kt.shape[-1]
+    nb = -(-N // block_k)
     n_total = nb * block_k
     QT = q_tile or Q
     QB = Q // QT
@@ -255,7 +327,7 @@ def _fwd_call(q, kt, v, seed, block_k, n_valid, rate, q_tile, interpret,
     kernel = functools.partial(
         _fwd_kernel, sm_scale=1.0 / (D ** 0.5), block_k=block_k, q_tile=QT,
         n_valid=n_valid, n_total=n_total, rate=rate, groups=groups,
-        want_lse=want_lse, interpret=interpret)
+        want_lse=want_lse, kv_nc=kv_nc, interpret=interpret)
     out = pl.pallas_call(
         kernel,
         grid=(B, H, nb, QB),
@@ -263,11 +335,7 @@ def _fwd_call(q, kt, v, seed, block_k, n_valid, rate, q_tile, interpret,
             pl.BlockSpec(memory_space=pltpu.SMEM),     # seeds (G,)
             pl.BlockSpec((1, 1, QT, D), lambda b, h, n, t: (b, h, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D, block_k), lambda b, h, n, t: (b, h, 0, n),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, n, t: (b, h, n, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + _kv_specs(kv_nc, block_k, D),
         out_specs=[
             pl.BlockSpec((1, 1, Q, D), lambda b, h, n, t: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -300,7 +368,9 @@ def _fwd_call(q, kt, v, seed, block_k, n_valid, rate, q_tile, interpret,
 def _bwd_call(q, kt, v, do, lse, delta, seed, block_k, n_valid, rate,
               q_tile, interpret):
     B, H, Q, D = q.shape
-    nb = kt.shape[-1] // block_k
+    kv_nc = kt.ndim == 3
+    N = kt.shape[1] if kv_nc else kt.shape[-1]
+    nb = -(-N // block_k)
     n_total = nb * block_k
     QT = q_tile or Q
     QB = Q // QT
@@ -308,7 +378,7 @@ def _bwd_call(q, kt, v, do, lse, delta, seed, block_k, n_valid, rate,
     kernel = functools.partial(
         _bwd_kernel, sm_scale=1.0 / (D ** 0.5), block_k=block_k, q_tile=QT,
         n_valid=n_valid, n_total=n_total, rate=rate, groups=groups,
-        interpret=interpret)
+        kv_nc=kv_nc, interpret=interpret)
     dq, dkt, dv = pl.pallas_call(
         kernel,
         grid=(B, H, nb, QB),
@@ -316,10 +386,7 @@ def _bwd_call(q, kt, v, do, lse, delta, seed, block_k, n_valid, rate,
             pl.BlockSpec(memory_space=pltpu.SMEM),     # seeds (G,)
             pl.BlockSpec((1, 1, QT, D), lambda b, h, n, t: (b, h, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D, block_k), lambda b, h, n, t: (b, h, 0, n),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, n, t: (b, h, n, 0),
-                         memory_space=pltpu.VMEM),
+        ] + _kv_specs(kv_nc, block_k, D) + [
             pl.BlockSpec((1, 1, QT, D), lambda b, h, n, t: (b, h, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, QT, 128), lambda b, h, n, t: (b, h, t, 0),
@@ -330,11 +397,7 @@ def _bwd_call(q, kt, v, do, lse, delta, seed, block_k, n_valid, rate,
         out_specs=[
             pl.BlockSpec((1, 1, Q, D), lambda b, h, n, t: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D, block_k), lambda b, h, n, t: (b, h, 0, n),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, n, t: (b, h, n, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + _kv_specs(kv_nc, block_k, D),
         out_shape=[
             jax.ShapeDtypeStruct(q.shape, q.dtype),
             jax.ShapeDtypeStruct(kt.shape, kt.dtype),
@@ -511,20 +574,33 @@ def flash_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def _prep_flash_args(q, k, v, block_k, k_transposed, n_valid, dropout_rate,
                      dropout_seed, q_tile, interpret):
-    """Layout/pad/seed normalization shared by all flash entry points."""
-    B, H, Q, D = q.shape
-    if not k_transposed:
-        k = jnp.swapaxes(k, -1, -2)            # (B, H, N, D) → (B, H, D, N)
-    N = k.shape[-1]
-    n_valid = int(n_valid) if n_valid is not None else N
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+    """Layout/pad/seed normalization shared by all flash entry points.
 
-    block_k = min(block_k, max(128, -(-N // 128) * 128))
-    n_pad = (-N) % block_k
-    if n_pad:
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, n_pad)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, n_pad), (0, 0)))
+    K/V layouts: ndim-4 (B,H,N,D) (or (B,H,D,N) with k_transposed) runs the
+    padded pre-transposed path; ndim-3 (B, N, H·D) — the K/V projections'
+    natural output, reshaped for free — runs with NO relayout or padding
+    (partial last block masked in-kernel)."""
+    B, H, Q, D = q.shape
+    if k.ndim == 3:                            # (B, N, H·D) zero-copy path
+        assert k.shape[-1] == H * D and v.shape == k.shape, (k.shape, v.shape)
+        N = k.shape[1]
+        n_valid = int(n_valid) if n_valid is not None else N
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        block_k = min(block_k, max(8, -(-N // 8) * 8))
+    else:
+        if not k_transposed:
+            k = jnp.swapaxes(k, -1, -2)        # (B, H, N, D) → (B, H, D, N)
+        N = k.shape[-1]
+        n_valid = int(n_valid) if n_valid is not None else N
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+
+        block_k = min(block_k, max(128, -(-N // 128) * 128))
+        n_pad = (-N) % block_k
+        if n_pad:
+            k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, n_pad)))
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, n_pad), (0, 0)))
 
     if dropout_rate > 0.0 and dropout_seed is None:
         raise ValueError("dropout_rate > 0 requires dropout_seed")

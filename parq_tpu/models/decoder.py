@@ -156,10 +156,9 @@ class DecoderLayer(nn.Module):
     deterministic: bool
     dtype: jnp.dtype = jnp.float32
     # When True the caller guarantees: TPU backend, bf16, MXU-aligned
-    # shapes, AND k_mem arriving pre-transposed (B,H,D,Np) + v_mem
-    # pre-padded (B,H,Np,D) with kv_valid true tokens. The gate + layout
-    # prep live in PARQDecoder so the 59MB K/V relayout happens once per
-    # forward, not once per iteration.
+    # shapes, AND k_mem/v_mem arriving in the kernel's zero-copy
+    # (B, N, H·D) layout with kv_valid true tokens. The gate lives in
+    # PARQDecoder; no K/V relayout happens anywhere.
     use_flash: bool = False
     kv_valid: Optional[int] = None
 
@@ -225,8 +224,8 @@ class DecoderLayer(nn.Module):
                         0, 2 ** 31 - 1, dtype=jnp.int32)
                     for g in range(G)])
             kwargs = dict(
-                k_transposed=True, n_valid=self.kv_valid,
-                block_k=1280 if G > 1 else 1920,
+                n_valid=self.kv_valid,
+                block_k=1280 if G > 1 else 1440,
                 q_tile=Q0 if G > 1 else None,
                 dropout_rate=0.0 if det else rate, dropout_seed=seeds)
             if precomputed is not None:
@@ -457,10 +456,10 @@ class PARQDecoder(nn.Module):
 
         # memory K/V projected ONCE (identical across iterations; the
         # reference recomputes them per iteration — transformer_parq.py:377).
-        # On the fused-kernel path K is additionally stored pre-transposed
-        # (B,H,D,Np) and K/V pre-padded to the kernel block multiple — all
-        # per-iteration relayout of the ~59MB K/V costs more than the
-        # kernel saves (measured: 2.2ms/call of swapaxes+pad overhead).
+        # The fused kernel consumes K/V in the projection's NATURAL
+        # (B, N, H·D) layout — the reshape is free, so the ~59MB K/V never
+        # get relaid out at all (the earlier pre-transposed+padded layout
+        # cost 2.2ms/step of pads and layout copies).
         Bm, Tm, Hm, Wm, Cm = memory_hw.shape
         N = Tm * Hm * Wm
         memory_tokens = memory_hw.reshape(Bm, N, Cm).astype(self.dtype)
@@ -469,7 +468,6 @@ class PARQDecoder(nn.Module):
                                 name="cross_attn_key")(memory_tokens)
         v_mem = nn.DenseGeneral((self.heads, head_dim), dtype=self.dtype,
                                 name="cross_attn_value")(memory_tokens)
-        v_mem = v_mem.transpose(0, 2, 1, 3)   # (B, H, N, D)
 
         # static gate for the fused cross-attention kernel (bf16 TPU path,
         # inference AND training — the kernel has a flash-style custom VJP
@@ -482,12 +480,12 @@ class PARQDecoder(nn.Module):
                  and head_dim % 128 == 0 and self.num_queries % 8 == 0)
         kv_valid = None
         if flash:
-            from ..kernels.cross_attention_pallas import pad_kv_for_flash
-            k_mem = k_mem.transpose(0, 2, 3, 1)   # (B, H, D, N)
-            k_mem, v_mem = pad_kv_for_flash(k_mem, v_mem)
+            k_mem = k_mem.reshape(Bm, N, self.dim)   # (B, N, H·D), free
+            v_mem = v_mem.reshape(Bm, N, self.dim)
             kv_valid = N
         else:
             k_mem = k_mem.transpose(0, 2, 1, 3)   # (B, H, N, D)
+            v_mem = v_mem.transpose(0, 2, 1, 3)
 
         iter_kwargs = dict(
             dim=self.dim, heads=self.heads, ffn_dim=self.ffn_dim,
