@@ -83,14 +83,36 @@ def main():
             names[ev["pid"]] = ev["args"].get("name", "")
     dev_pids = {p for p, n in names.items()
                 if "TPU" in n or "device" in n.lower() or "Axon" in n}
-    agg = defaultdict(float)
-    total = 0.0
+
+    # SELF time: within each (pid, tid) track, nested events double-count
+    # their parents — sort by (start, -dur) and subtract each event's
+    # duration from the enclosing event on a stack.
+    tracks = defaultdict(list)
     for ev in trace["traceEvents"]:
         if ev.get("ph") == "X" and ev.get("pid") in dev_pids:
-            agg[ev["name"]] += ev.get("dur", 0.0)
-            total += ev.get("dur", 0.0)
+            tracks[(ev["pid"], ev.get("tid"))].append(
+                (ev["ts"], -ev.get("dur", 0.0), ev["name"]))
+    agg = defaultdict(float)
+    total = 0.0
+    for evs in tracks.values():
+        evs.sort()
+        stack = []  # (end_ts, name, self_dur_accum_index)
+        selfs = []
+        for ts, ndur, name in evs:
+            dur = -ndur
+            while stack and stack[-1][0] <= ts + 1e-9:
+                stack.pop()
+            if stack:
+                i = stack[-1][2]
+                selfs[i][1] -= dur
+            selfs.append([name, dur])
+            stack.append((ts + dur, name, len(selfs) - 1))
+        for name, sdur in selfs:
+            if sdur > 0:
+                agg[name] += sdur
+                total += sdur
     print(f"# lanes: { {p: names[p] for p in dev_pids} }")
-    print(f"# total device time: {total/1e3/3:.2f} ms per call (3 calls)")
+    print(f"# total device SELF time: {total/1e3/3:.2f} ms per call (3 calls)")
     for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:args.top]:
         print(f"{dur/1e3/3:9.3f} ms  {name[:120]}")
 
