@@ -76,20 +76,27 @@ def main():
     with gzip.open(paths[-1], "rt") as fh:
         trace = json.load(fh)
 
-    # device lanes: pid whose process_name mentions TPU/device
+    # device "XLA Ops" lanes only (the Steps / XLA Modules lanes carry
+    # markers that span whole calls and would double-count everything)
     names = {}
+    ops_tracks = set()
     for ev in trace["traceEvents"]:
-        if ev.get("ph") == "M" and ev.get("name") == "process_name":
-            names[ev["pid"]] = ev["args"].get("name", "")
+        if ev.get("ph") == "M":
+            if ev.get("name") == "process_name":
+                names[ev["pid"]] = ev["args"].get("name", "")
+            if (ev.get("name") == "thread_name"
+                    and ev["args"].get("name") == "XLA Ops"):
+                ops_tracks.add((ev["pid"], ev.get("tid")))
     dev_pids = {p for p, n in names.items()
                 if "TPU" in n or "device" in n.lower() or "Axon" in n}
+    ops_tracks = {t for t in ops_tracks if t[0] in dev_pids}
 
-    # SELF time: within each (pid, tid) track, nested events double-count
-    # their parents — sort by (start, -dur) and subtract each event's
-    # duration from the enclosing event on a stack.
+    # SELF time: within each track, nested events double-count their
+    # parents — sort by (start, -dur) and subtract each event's duration
+    # from the enclosing event on a stack.
     tracks = defaultdict(list)
     for ev in trace["traceEvents"]:
-        if ev.get("ph") == "X" and ev.get("pid") in dev_pids:
+        if ev.get("ph") == "X" and (ev["pid"], ev.get("tid")) in ops_tracks:
             tracks[(ev["pid"], ev.get("tid"))].append(
                 (ev["ts"], -ev.get("dur", 0.0), ev["name"]))
     agg = defaultdict(float)

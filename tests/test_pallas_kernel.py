@@ -144,6 +144,61 @@ def test_flash_cross_attention_grads_match_reference(rng):
                                    atol=5e-4, rtol=1e-3)
 
 
+def test_flash_nc_layout_matches_reference(rng):
+    """Zero-copy (B, N, H·D) K/V layout (NT in-kernel matmul, no padding,
+    partial last block masked) == exact softmax, values AND grads."""
+    B, H, Q, D, N = 2, 2, 16, 128, 300   # N % block_k != 0
+    q = jnp.asarray(rng.randn(B, H, Q, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32))
+    k_nc = jnp.swapaxes(k, 1, 2).reshape(B, N, H * D)
+    v_nc = jnp.swapaxes(v, 1, 2).reshape(B, N, H * D)
+
+    got = flash_cross_attention(q, k_nc, v_nc, block_k=128, interpret=True)
+    want = cross_attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def loss_nc(q, k_nc, v_nc):
+        o = flash_cross_attention(q, k_nc, v_nc, block_k=128,
+                                  interpret=True)
+        return jnp.sum(o ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(cross_attention_reference(q, k, v) ** 2)
+
+    g1 = jax.grad(loss_nc, argnums=(0, 1, 2))(q, k_nc, v_nc)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g2_nc = (g2[0],
+             jnp.swapaxes(g2[1], 1, 2).reshape(B, N, H * D),
+             jnp.swapaxes(g2[2], 1, 2).reshape(B, N, H * D))
+    for a, b in zip(g1, g2_nc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)
+
+
+def test_flash_nc_grouped_seeds_dropout(rng):
+    """nc-layout dropout: folded grouped-seed call draws the same masks as
+    the equivalent per-tile calls (the batched-grad path's contract)."""
+    B, H, Q, D, N = 1, 2, 16, 128, 256
+    G = 2
+    q = jnp.asarray(rng.randn(B, H, Q, D).astype(np.float32))
+    k_nc = jnp.asarray(rng.randn(B, N, H * D).astype(np.float32) * 0.3)
+    v_nc = jnp.asarray(rng.randn(B, N, H * D).astype(np.float32))
+    seeds = jnp.asarray([17, 23], jnp.int32)
+
+    folded = flash_cross_attention(q, k_nc, v_nc, block_k=128,
+                                   dropout_rate=0.3, dropout_seed=seeds,
+                                   interpret=True)
+    for g in range(G):
+        tile = flash_cross_attention(
+            q[:, :, g * (Q // G):(g + 1) * (Q // G)], k_nc, v_nc,
+            block_k=128, dropout_rate=0.3, dropout_seed=seeds[g],
+            interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(folded[:, :, g * (Q // G):(g + 1) * (Q // G)]),
+            np.asarray(tile), atol=2e-5)
+
+
 def test_fast_sampling_path_values_and_grads(rng):
     """pixel_aligned_features_fast (XLA-gather fwd + Pallas matmul bwd for
     d(memory)) == the pure-XLA reference in both values and gradients."""
