@@ -131,30 +131,35 @@ def set_loss(
         matched = assign >= 0
         a = jnp.clip(assign, 0, K - 1)
 
-        take = lambda t: jnp.take_along_axis(
-            t, a[..., None].repeat(t.shape[-1], -1), axis=1)
-
         mcount = jnp.sum(matched, axis=1)         # (B,)
         denom = jnp.maximum(mcount, 1).astype(jnp.float32)
 
         def masked_pair_mean(err):                # err: (B, Q)
             return jnp.sum(err * matched, axis=1) / denom
 
+        # ONE row-wise gather of all matched-target fields: an expanded
+        # (LB, Q, width) index makes XLA gather element-by-element (~3ms);
+        # a broadcast (LB, Q, 1) index over a concatenated (LB, K, 15)
+        # table is a 15-lane row slice per pair.
+        nb = out_l["ortho6d"].shape[0]
+        tgt_cat = jnp.concatenate(
+            [targets.center, targets.size,
+             targets.rot.reshape(nb, K, 9)], axis=-1)      # (LB, K, 15)
+        g = jnp.take_along_axis(tgt_cat, a[..., None], axis=1)
+        tgt_center, tgt_size = g[..., 0:3], g[..., 3:6]
+        R_tgt = g[..., 6:15].reshape(nb, Q, 3, 3)
+
         # center / size L1 (mean over pairs AND coords == mean/3 per pair)
         c_err = jnp.mean(jnp.abs(out_l["center_unnormalized"]
-                                 - take(targets.center)), axis=-1)
+                                 - tgt_center), axis=-1)
         s_err = jnp.mean(jnp.abs(out_l["size_unnormalized"]
-                                 - take(targets.size)), axis=-1)
+                                 - tgt_size), axis=-1)
         center_loss = masked_pair_mean(c_err)
         size_loss = masked_pair_mean(s_err)
 
         # rotation with symmetry
-        nb = out_l["ortho6d"].shape[0]
         R_pred = rotation_matrix_from_ortho6d(
             out_l["ortho6d"].reshape(nb * Q, 6)).reshape(nb, Q, 3, 3)
-        R_tgt = jnp.take_along_axis(
-            targets.rot, a[..., None, None].repeat(3, -2).repeat(3, -1),
-            axis=1)
         sym_q = jnp.take_along_axis(targets.sym, a, axis=1)  # (LB, Q)
         r_err = _rotation_loss_sym(
             R_pred.reshape(nb * Q, 3, 3), R_tgt.reshape(nb * Q, 3, 3),

@@ -92,6 +92,31 @@ def _apply_drop(x: jnp.ndarray, keep: Optional[jnp.ndarray], rate: float):
                      jnp.zeros((), x.dtype))
 
 
+class FlatHeadDense(nn.Module):
+    """DenseGeneral((heads, head_dim))-compatible params with a FLAT
+    (..., heads·head_dim) output: the head split lives in a reshape of the
+    2MB kernel (folded into the matmul) instead of the output. A
+    DenseGeneral-then-output-reshape is a physical relayout of the ~59MB
+    K/V (H=4 pads to 8 sublanes in the (B,N,H,D) layout): 0.7ms per
+    tensor per step in the op profile."""
+    heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(in_axis=0, out_axis=(1, 2)),
+            (C, self.heads, self.head_dim))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.heads, self.head_dim))
+        out = self.heads * self.head_dim
+        return (x @ kernel.reshape(C, out).astype(self.dtype)
+                + bias.reshape(out).astype(self.dtype))
+
+
 class SelfAttention(nn.Module):
     """Multi-head self-attention, parameter-compatible with flax
     nn.MultiHeadDotProductAttention (query/key/value/out DenseGenerals —
@@ -464,10 +489,10 @@ class PARQDecoder(nn.Module):
         N = Tm * Hm * Wm
         memory_tokens = memory_hw.reshape(Bm, N, Cm).astype(self.dtype)
         head_dim = self.dim // self.heads
-        k_mem = nn.DenseGeneral((self.heads, head_dim), dtype=self.dtype,
-                                name="cross_attn_key")(memory_tokens)
-        v_mem = nn.DenseGeneral((self.heads, head_dim), dtype=self.dtype,
-                                name="cross_attn_value")(memory_tokens)
+        k_mem = FlatHeadDense(self.heads, head_dim, dtype=self.dtype,
+                              name="cross_attn_key")(memory_tokens)
+        v_mem = FlatHeadDense(self.heads, head_dim, dtype=self.dtype,
+                              name="cross_attn_value")(memory_tokens)
 
         # static gate for the fused cross-attention kernel (bf16 TPU path,
         # inference AND training — the kernel has a flash-style custom VJP
@@ -480,12 +505,12 @@ class PARQDecoder(nn.Module):
                  and head_dim % 128 == 0 and self.num_queries % 8 == 0)
         kv_valid = None
         if flash:
-            k_mem = k_mem.reshape(Bm, N, self.dim)   # (B, N, H·D), free
-            v_mem = v_mem.reshape(Bm, N, self.dim)
-            kv_valid = N
+            kv_valid = N                          # already (B, N, H·D)
         else:
-            k_mem = k_mem.transpose(0, 2, 1, 3)   # (B, H, N, D)
-            v_mem = v_mem.transpose(0, 2, 1, 3)
+            k_mem = k_mem.reshape(Bm, N, self.heads, head_dim) \
+                .transpose(0, 2, 1, 3)            # (B, H, N, D)
+            v_mem = v_mem.reshape(Bm, N, self.heads, head_dim) \
+                .transpose(0, 2, 1, 3)
 
         iter_kwargs = dict(
             dim=self.dim, heads=self.heads, ffn_dim=self.ffn_dim,
