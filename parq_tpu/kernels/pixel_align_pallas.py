@@ -40,20 +40,22 @@ def _pick_row_tile(H: int, W: int, C: int, Q: int, itemsize: int) -> int:
         if H % rt:
             continue
         mem_bytes = 2 * rt * W * C * itemsize          # double-buffered in
-        w_bytes = 3 * Q * rt * W * 4                   # wx/wy/w intermediates
+        w_bytes = (rt + 2) * Q * W * 4                 # w tile + wx factor
         out_bytes = Q * C * 4
         if mem_bytes + w_bytes + out_bytes <= budget:
             return rt
     return 1
 
 
-def _build_w_tile(uvs, row0: int, RT: int, W_img: int) -> jnp.ndarray:
+def _build_w_tile(uvs, row0, RT: int, W_img: int) -> jnp.ndarray:
     """Bilinear sampling weights for one row-tile as a dense (Q, RT·W)
-    matrix, built from SMALL separable factors and expanded on the MXU via
-    constant indicator matrices — dense O(Q·P) VPU construction is the
-    bottleneck otherwise. Out-of-bounds neighbors never match any position
-    → zeros padding for free. The per-query `scale` (valid-mean fold-in)
-    rides on the wy factor."""
+    matrix. The matrix is separable — w[q, (r, x)] = wy[q, r] · wx[q, x] —
+    so each image-row block is the (Q, W) wx factor scaled by that row's
+    wy column, laid side by side with a lane concat: pure VPU O(Q·P), no
+    MXU indicator expansion (an earlier version spent ~2ms/step on
+    HIGHEST-precision expander matmuls), and exact (no matmul rounding).
+    Out-of-bounds neighbors never match any position → zeros padding for
+    free. The per-query `scale` (valid-mean fold-in) rides on wy."""
     u = uvs[:, 0:1]                            # (Q, 1)
     v = uvs[:, 1:2]
     scale = uvs[:, 2:3]                        # valid/count fold-in
@@ -63,39 +65,24 @@ def _build_w_tile(uvs, row0: int, RT: int, W_img: int) -> jnp.ndarray:
     fx = u - x0
     fy = v - y0
 
-    P = RT * W_img
     Q = u.shape[0]
 
     zero = jnp.float32(0.0)
     col = jax.lax.broadcasted_iota(jnp.int32, (Q, W_img), 1).astype(
         jnp.float32)
-    rowg = (jax.lax.broadcasted_iota(jnp.int32, (Q, RT), 1)
-            + row0).astype(jnp.float32)
     wx = (jnp.where(col == x0, 1.0 - fx, zero)
           + jnp.where(col == x0 + 1.0, fx, zero))          # (Q, W)
-    wy = (jnp.where(rowg == y0, (1.0 - fy) * scale, zero)
-          + jnp.where(rowg == y0 + 1.0, fy * scale, zero))  # (Q, RT)
+    wy0 = (1.0 - fy) * scale                               # (Q, 1)
+    wy1 = fy * scale
 
-    # indicator expanders: E[r, p] = [p // W == r], F[x, p] = [p % W == x]
-    # (row/col from float math — integer div is emulated & slow on VPU;
-    # floor((p + 0.5)/W) is exact for integer p)
-    pp_r = jax.lax.broadcasted_iota(jnp.int32, (RT, P), 1).astype(jnp.float32)
-    r_id = jax.lax.broadcasted_iota(jnp.int32, (RT, P), 0).astype(jnp.float32)
-    p_row = jnp.floor((pp_r + 0.5) * jnp.float32(1.0 / W_img))
-    E = (p_row == r_id).astype(jnp.float32)                 # (RT, P)
-    pp_c = jax.lax.broadcasted_iota(jnp.int32, (W_img, P), 1).astype(
-        jnp.float32)
-    c_id = jax.lax.broadcasted_iota(jnp.int32, (W_img, P), 0).astype(
-        jnp.float32)
-    p_col = pp_c - jnp.floor((pp_c + 0.5) * jnp.float32(1.0 / W_img)) * W_img
-    F = (p_col == c_id).astype(jnp.float32)                 # (W, P)
-
-    hp = jax.lax.Precision.HIGHEST  # exact 0/1 expansion, cheap (small K)
-    wyP = jnp.dot(wy, E, precision=hp,
-                  preferred_element_type=jnp.float32)  # (Q, P)
-    wxP = jnp.dot(wx, F, precision=hp,
-                  preferred_element_type=jnp.float32)  # (Q, P)
-    return wyP * wxP
+    parts = []
+    for r in range(RT):
+        rowf = jnp.float32(row0 + r) if isinstance(row0, int) \
+            else (row0 + r).astype(jnp.float32)
+        wy_r = (jnp.where(y0 == rowf, wy0, zero)
+                + jnp.where(y0 + 1.0 == rowf, wy1, zero))  # (Q, 1)
+        parts.append(wx * wy_r)
+    return jnp.concatenate(parts, axis=1)                  # (Q, RT·W)
 
 
 def _sample_kernel(uvs_ref, mem_ref, out_ref, *, W_img: int, RT: int):
@@ -203,7 +190,7 @@ def _pick_bwd_tiles(H: int, W: int, C: int, Q: int, itemsize: int):
         if H % rt:
             continue
         g_bytes = 2 * qt * C * itemsize
-        w_bytes = 3 * qt * rt * W * 4
+        w_bytes = (rt + 2) * qt * W * 4
         out_bytes = 2 * rt * W * C * itemsize
         if g_bytes + w_bytes + out_bytes <= budget:
             return rt, qt
