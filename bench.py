@@ -61,25 +61,26 @@ def measure(fwd, batch, iters: int = 30, warmup: int = 1) -> float:
     tunnel costs ~1ms and would understate the chip). The carry sums every
     output leaf so XLA cannot prune any part of the model.
 
-    Each iteration reads a DIFFERENT input image (dynamic-sliced from a
-    2-deep buffer by the loop index) so the forward is loop-variant and
-    cannot be hoisted — but iterations stay data-independent, exactly like
-    a real eval stream over distinct batches. (An earlier protocol fed the
-    previous iteration's output sum back into the input; that false serial
-    dependency blocked XLA's cross-step DMA/compute overlap and understated
-    the chip by ~25%.)"""
+    Each iteration reads a DIFFERENT batch — images AND cameras/poses —
+    dynamic-sliced from a 2-deep buffer by the loop index, so the whole
+    forward is loop-variant and nothing can be hoisted (a rgb-only variant
+    left the pose-dependent rayPE hoisted: ~2.5ms/step flattery) — but
+    iterations stay data-independent, exactly like a real eval stream over
+    distinct snippets. (An even earlier protocol fed the previous
+    iteration's output sum back into the input; that false serial
+    dependency blocked XLA's cross-step DMA/compute overlap.)"""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def run(batch):
-        rgb2 = jnp.stack([batch["rgb_img"],
-                          batch["rgb_img"][::-1]])  # (2, B, T, ...)
+        stacked = jax.tree_util.tree_map(
+            lambda x: jnp.stack([x, x[::-1]]), batch)  # (2, B, ...) each
 
         def body(i, acc):
-            b = dict(batch)
-            b["rgb_img"] = jax.lax.dynamic_index_in_dim(
-                rgb2, i % 2, keepdims=False)
+            b = jax.tree_util.tree_map(
+                lambda x2: jax.lax.dynamic_index_in_dim(
+                    x2, i % 2, keepdims=False), stacked)
             out = fwd(b)
             s = sum(jnp.sum(leaf.astype(jnp.float32))
                     for leaf in jax.tree_util.tree_leaves(out))
@@ -149,9 +150,10 @@ def main():
                     help="benchmark the full train step instead of eval fwd")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="disable the fused matmul sampler (default on)")
     ap.add_argument("--pallas", action="store_true",
-                    help="use the pallas sampler (wins only at small batch)")
+                    help="deprecated no-op (the sampler is default on)")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     args = ap.parse_args()
@@ -174,7 +176,7 @@ def main():
         }))
         return
 
-    use_pallas = args.pallas and not args.no_pallas
+    use_pallas = not args.no_pallas
     try:
         fwd, batch = build(args.batch, use_pallas=use_pallas,
                            dtype=args.dtype)

@@ -118,7 +118,7 @@ _C.TPU.MESH_DATA = -1          # -1: use all devices on the data axis
 _C.TPU.MESH_MODEL = 1          # model-parallel axis size (tokens/heads sharding)
 _C.TPU.COMPUTE_DTYPE = "float32"   # "bfloat16" for the fast path
 _C.TPU.PARAM_DTYPE = "float32"
-_C.TPU.USE_PALLAS_SAMPLER = False  # fused sampler kernel (wins at small batch/bf16 only)
+_C.TPU.USE_PALLAS_SAMPLER = True   # fused matmul sampler (bf16 TPU path)
 _C.TPU.USE_FLASH_CROSS_ATTN = True  # fused cross-attn kernel (bf16 TPU path)
 _C.TPU.BATCHED_GRAD = True         # fold decoder iterations for the train backward
 _C.TPU.REMAT = False               # jax.checkpoint the decoder iteration

@@ -498,11 +498,14 @@ class PARQDecoder(nn.Module):
         # inference AND training — the kernel has a flash-style custom VJP
         # with in-kernel dropout; f32 keeps the exact XLA softmax for
         # checkpoint-parity runs)
-        flash = (self.use_flash
-                 and (self.force_kernels
-                      or (jax.default_backend() == "tpu"
-                          and self.dtype == jnp.bfloat16))
+        on_fast_path = (self.force_kernels
+                        or (jax.default_backend() == "tpu"
+                            and self.dtype == jnp.bfloat16))
+        flash = (self.use_flash and on_fast_path
                  and head_dim % 128 == 0 and self.num_queries % 8 == 0)
+        # fused matmul sampler: same bf16-TPU gate (f32 parity runs keep
+        # the exact XLA gather path)
+        pallas_sampler = self.use_pallas and on_fast_path
         kv_valid = None
         if flash:
             kv_valid = N                          # already (B, N, H·D)
@@ -517,7 +520,7 @@ class PARQDecoder(nn.Module):
             dropout_rate=self.dropout_rate, num_semcls=self.num_semcls,
             scale=tuple(self.scale), feat_size=tuple(self.feat_size),
             mean_size=mean_size, deterministic=deterministic,
-            use_pallas=self.use_pallas, use_flash=flash, kv_valid=kv_valid,
+            use_pallas=pallas_sampler, use_flash=flash, kv_valid=kv_valid,
             sampler_force=self.force_kernels, dtype=self.dtype)
 
         inputs = (memory_hw, camera.data, T_camera_local.data, k_mem, v_mem)

@@ -40,7 +40,7 @@ class PARQModel(nn.Module):
     share_weights: bool = True
     image_size: Tuple[int, int] = (320, 240)  # (W, H)
     mean_size: Tuple[Tuple[float, ...], ...] = ()
-    use_pallas: bool = False
+    use_pallas: bool = True  # fused matmul sampler (bf16 TPU path only)
     use_flash: bool = True   # fused cross-attn kernel (bf16 TPU path only)
     batched_grad: bool = True  # fold iterations for the training backward
     remat: bool = False
