@@ -9,10 +9,11 @@ kernels stream K/V blocks through VMEM with an online softmax, so the
 logits never exist in HBM, forward or backward.
 
 TPU-specific choices:
-- K arrives PRE-TRANSPOSED as (B, H, D, N): both forward matmuls are then
-  in the MXU-canonical (M,K)x(K,N) orientation. The transpose + pad happen
-  once outside the 8-iteration recurrence (see `pad_kv_for_flash`) — doing
-  them per call costs more than the kernel saves (measured 2.2ms/call).
+- K/V arrive in the projections' NATURAL (B, N, H·D) layout (ndim-3): no
+  transpose, no padding — the first matmul is NT (contraction on the lane
+  dim of both operands) and the partial last kv block is masked in-kernel.
+  The legacy pre-transposed (B, H, D, N) + padded layout (ndim-4, see
+  `pad_kv_for_flash`) remains supported for callers that already hold it.
 - exp via exp2 (VPU-native) instead of the polynomial exp.
 - grid (B, H, NB, QB) with (b, h) parallel. The KV-block axis NB is OUTER
   of the q-tile axis QB, so a K/V block is fetched once and reused by every
@@ -26,12 +27,15 @@ TPU-specific choices:
 - big-negative (not -inf) masking for the padded KV tail keeps exp NaN-free.
 - training support: attention-weight dropout (the reference's
   nn.MultiheadAttention dropout, applied to the softmaxed weights) is
-  regenerated INSIDE the kernel from a per-(q-tile, b, h, kv-block) PRNG
-  seed, so the (B,H,Q,N) mask never exists either; forward and backward
-  reseed identically. With one seed per q-tile, a folded L·Q call draws
-  bit-identical masks to L separate per-iteration calls — the decoder's
-  batched-grad path depends on this. The custom VJP recomputes p from the
-  saved rowwise logsumexp (flash-style).
+  regenerated INSIDE the kernel as a counter-based hash of (seed,
+  batch·head, tile-row, global kv column), so the (B,H,Q,N) mask never
+  exists either, and the draws are invariant to the kv-block split —
+  forward and backward (or the trajectory pass and the folded
+  precomputed-backward) may use different block_k and still agree. With
+  one seed per q-tile, a folded L·Q call draws bit-identical masks to L
+  separate per-iteration calls — the decoder's batched-grad path depends
+  on this. The custom VJP recomputes p from the saved rowwise logsumexp
+  (flash-style).
 
 Why not the library flash kernel: measured ~30% slower than XLA at this
 shape in round 1 (generic block structure, segment-id plumbing, small
@@ -51,33 +55,37 @@ NEG_INF = -1e30  # big-negative (not -inf) keeps exp() NaN-free on pad blocks
 LOG2E = 1.4426950408889634
 
 
-def _keep_mask(seed_ref, rate: float, shape, groups: int, interpret: bool):
-    """Regenerate the dropout keep-mask for this grid step; identical in
-    fwd and bwd (same seeding tuple). Mosaic supports at most 2 seed
-    values, so the (b, h, nb) grid position folds into one scalar; the
-    q-tile index selects the per-group seed (groups == 1 uses seed 0 and
-    reproduces the single-call draws exactly). Interpret mode (CPU tests)
-    uses a counter-based hash instead of the TPU hardware PRNG — draws
-    differ between backends, but fwd/bwd and folded/per-tile calls agree
-    within a backend, which is all the training path needs."""
-    lin = ((pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
-           * pl.num_programs(2) + pl.program_id(2))
+def _keep_mask(seed_ref, rate: float, shape, groups: int, block_k: int,
+               interpret: bool):
+    """Regenerate the dropout keep-mask for this grid step as a pure
+    counter-based hash of (seed, batch·head, tile-local row, GLOBAL kv
+    column). Draws are therefore invariant to the kv-block split — fwd and
+    bwd (and the trajectory pass + precomputed-backward pair of the
+    batched-grad path) may use DIFFERENT block_k and still see identical
+    masks. An earlier version keyed the TPU hardware PRNG on the grid
+    position (b, h, nb), which silently made the phase-1 forward (block
+    1440) and the folded backward (block 1280) disagree at release shapes.
+    The q-tile index selects the per-group seed (groups == 1 uses seed 0
+    and reproduces the single-call draws exactly); the row index is
+    tile-local so a folded group-g tile draws exactly what a separate call
+    over that group's rows would. Same hash on TPU and in interpret mode."""
+    del interpret  # one code path for both backends
+    bh = (pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
+    nb = pl.program_id(2)
     seed = seed_ref[pl.program_id(3)] if groups > 1 else seed_ref[0]
     thresh = jnp.uint32(min(int(rate * 2 ** 32), 2 ** 32 - 1))
-    if interpret:
-        r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-        c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-        h = ((seed.astype(jnp.uint32) * jnp.uint32(2654435761))
-             ^ (lin.astype(jnp.uint32) * jnp.uint32(2246822519)))
-        h = h + r * jnp.uint32(3266489917) + c * jnp.uint32(668265263)
-        for _ in range(3):
-            h = h ^ (h >> 15)
-            h = h * jnp.uint32(2246822519)
-            h = h ^ (h >> 13)
-        bits = h ^ (h >> 16)
-    else:
-        pltpu.prng_seed(seed, lin)
-        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    c = (jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+         + jnp.uint32(nb * block_k))                  # global kv column
+    h = ((seed.astype(jnp.uint32) * jnp.uint32(2654435761))
+         ^ (bh.astype(jnp.uint32) * jnp.uint32(2246822519)))
+    h = h + r * jnp.uint32(3266489917) + c * jnp.uint32(668265263)
+    # murmur3 fmix32: full avalanche in 2 multiplies
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    bits = h ^ (h >> 16)
     return bits >= thresh
 
 
@@ -135,7 +143,8 @@ def _fwd_kernel(seed_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref,
     # after normalization, like flax/torch weight-dropout)
     l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
     if rate > 0.0:
-        keep = _keep_mask(seed_ref, rate, p.shape, groups, interpret)
+        keep = _keep_mask(seed_ref, rate, p.shape, groups, block_k,
+                          interpret)
         p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
 
     pv = jax.lax.dot_general(
@@ -212,7 +221,8 @@ def _bwd_kernel(seed_ref, q_ref, kt_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     p = jnp.exp2(LOG2E * s - LOG2E * lse)             # (QT, BK) f32
     if rate > 0.0:
-        keep = _keep_mask(seed_ref, rate, p.shape, groups, interpret)
+        keep = _keep_mask(seed_ref, rate, p.shape, groups, block_k,
+                          interpret)
         w = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
     else:
         w = p

@@ -199,6 +199,57 @@ def test_flash_nc_grouped_seeds_dropout(rng):
             np.asarray(tile), atol=2e-5)
 
 
+def test_dropout_mask_invariant_to_block_split(rng):
+    """The in-kernel dropout draws depend only on (seed, head, tile row,
+    GLOBAL kv column) — NOT on the kv-block split. The batched-grad
+    training path relies on this: the trajectory pass and the folded
+    precomputed-backward run with different block_k. Regression for a bug
+    where grid-position seeding made fwd (block 1440) and bwd (block 1280)
+    silently disagree at release shapes (small test shapes clamp both to
+    the same block and could not catch it)."""
+    from parq_tpu.kernels.cross_attention_pallas import (
+        flash_cross_attention_fwd_lse, flash_cross_attention_precomputed)
+    B, H, Q, D, N = 1, 2, 16, 128, 700
+    q = jnp.asarray(rng.randn(B, H, Q, D).astype(np.float32))
+    k_nc = jnp.asarray(rng.randn(B, N, H * D).astype(np.float32) * 0.3)
+    v_nc = jnp.asarray(rng.randn(B, N, H * D).astype(np.float32))
+    seed = jnp.asarray([42], jnp.int32)
+
+    # forward output itself must be block-split invariant under dropout
+    o_a = flash_cross_attention(q, k_nc, v_nc, block_k=128,
+                                dropout_rate=0.25, dropout_seed=seed,
+                                interpret=True)
+    o_b = flash_cross_attention(q, k_nc, v_nc, block_k=256,
+                                dropout_rate=0.25, dropout_seed=seed,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(o_a), np.asarray(o_b), atol=2e-5)
+
+    # phase-1 fwd at block 256 + precomputed backward at block 128 ==
+    # self-consistent grads at block 128
+    o, lse = flash_cross_attention_fwd_lse(
+        q, k_nc, v_nc, block_k=256, dropout_rate=0.25, dropout_seed=seed,
+        interpret=True)
+
+    def loss_pre(q, k, v):
+        out = flash_cross_attention_precomputed(
+            q, k, v, jax.lax.stop_gradient(o), jax.lax.stop_gradient(lse),
+            block_k=128, dropout_rate=0.25, dropout_seed=seed,
+            interpret=True)
+        return jnp.sum(out ** 2)
+
+    def loss_direct(q, k, v):
+        out = flash_cross_attention(q, k, v, block_k=128,
+                                    dropout_rate=0.25, dropout_seed=seed,
+                                    interpret=True)
+        return jnp.sum(out ** 2)
+
+    g1 = jax.grad(loss_pre, argnums=(0, 1, 2))(q, k_nc, v_nc)
+    g2 = jax.grad(loss_direct, argnums=(0, 1, 2))(q, k_nc, v_nc)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)
+
+
 def test_fast_sampling_path_values_and_grads(rng):
     """pixel_aligned_features_fast (XLA-gather fwd + Pallas matmul bwd for
     d(memory)) == the pure-XLA reference in both values and gradients."""
