@@ -248,10 +248,13 @@ class DecoderLayer(nn.Module):
                         jax.random.fold_in(drop_keys[g], _SALT_CA_W), (),
                         0, 2 ** 31 - 1, dtype=jnp.int32)
                     for g in range(G)])
-            # block_k: eval (forward-only) takes the big exact-divisor
-            # block (swept: 4800 → 1.32ms vs 1.44 at 1440); training keeps
-            # smaller blocks — the backward materializes ~5 (QT, BK) f32
-            # tiles in VMEM.
+            # block_k: forward-only calls (eval; the trajectory pass's
+            # zero-grad fwd_lse) take big exact-divisor blocks (swept:
+            # 4800 → 1.32ms vs 1.44 at 1440 for the eval shape; 2880 fits
+            # VMEM with the dropout-mask tile); gradient-bearing calls
+            # keep smaller blocks — the backward materializes ~5 (QT, BK)
+            # f32 tiles. Mixing block sizes is safe: dropout masks are
+            # block-split-invariant by construction (see _keep_mask).
             kwargs = dict(
                 n_valid=self.kv_valid,
                 block_k=1280 if G > 1 else (4800 if det else 1440),
@@ -265,7 +268,7 @@ class DecoderLayer(nn.Module):
             elif aux_out:
                 attn, lse = flash_cross_attention_fwd_lse(
                     cq_h, k_mem.astype(cq.dtype), v_mem.astype(cq.dtype),
-                    **kwargs)
+                    **{**kwargs, "block_k": 2880})
                 aux = {"attn_o": attn, "attn_lse": lse}
             else:
                 attn = flash_cross_attention(
