@@ -58,6 +58,22 @@ def to_device_batch(batch: Dict, mesh=None) -> Dict:
     return out
 
 
+def device_prefetch(iterable, mesh, depth: int = 1):
+    """Yield (host_batch, device_batch) with the H2D copy of batch i+1
+    issued before step i is consumed — jax transfers are async, so the
+    copy overlaps the device step (the double-buffered H2D stage of the
+    input pipeline; the reference gets the same from CUDA pinned-memory
+    DataLoader + non_blocking copies)."""
+    from collections import deque
+    buf = deque()
+    for host in iterable:
+        buf.append((host, to_device_batch(host, mesh)))
+        if len(buf) > depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 class Trainer:
     def __init__(self, cfg: CfgNode, workdir: Optional[str] = None,
                  use_pallas: Optional[bool] = None):
@@ -294,7 +310,7 @@ class Trainer:
             else:
                 epoch_iter = train_loader
             n_done = 0
-            for batch in epoch_iter:
+            for batch, dev_batch in device_prefetch(epoch_iter, self.mesh):
                 if overfit_n and len(overfit_cache) < overfit_n:
                     overfit_cache.append(batch)
                 n_done += 1
@@ -302,7 +318,6 @@ class Trainer:
                     break
                 t0 = self._tick("data", t0)
                 rng, sub = jax.random.split(rng)
-                dev_batch = to_device_batch(batch, self.mesh)
                 self.state, metrics = self.train_step_fn(
                     self.state, dev_batch, sub)
                 t0 = self._tick("train_step", t0)
