@@ -9,9 +9,12 @@ Supports torch `parq_release.ckpt` checkpoints (converted on the fly) and
 orbax checkpoints. `--DEMO` runs the ARKit fragments path with PNG output.
 """
 import argparse
+import faulthandler
 import logging
 
 from parq_tpu.config import get_cfg, update_config
+
+faulthandler.enable(all_threads=True)  # crash diagnosis (ref: eval.py:13-14)
 
 
 def main():

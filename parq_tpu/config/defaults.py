@@ -141,8 +141,42 @@ def update_config(cfg: CN, args) -> None:
     cfg.merge_from_file(args.cfg)
     if getattr(args, "opts", None):
         cfg.merge_from_list(args.opts)
+    check_config(cfg)
     cfg.freeze()
 
 
+# TRAINER.PRECISION values (ref: train.py:119 passes it to Lightning) and
+# their TPU compute dtype. 16 means bf16 here — TPU has no fp16 matmul path.
+_PRECISION_DTYPE = {32: "float32", "32": "float32",
+                    16: "bfloat16", "16": "bfloat16",
+                    "bf16": "bfloat16", "bf16-mixed": "bfloat16",
+                    "16-mixed": "bfloat16"}
+
+
 def check_config(cfg: CN) -> None:
-    pass
+    """Validate + resolve knobs after merging (every key in this schema is
+    either honored or rejected loudly — no silently-dead config)."""
+    t = cfg.TRAINER
+    if t.PRECISION not in _PRECISION_DTYPE:
+        raise ValueError(
+            f"TRAINER.PRECISION={t.PRECISION!r} is not supported on TPU; "
+            f"use one of {sorted(map(str, _PRECISION_DTYPE))}")
+    # PRECISION 16 selects the bf16 compute path unless TPU.COMPUTE_DTYPE
+    # was set explicitly (the TPU-native knob wins when both are given).
+    want = _PRECISION_DTYPE[t.PRECISION]
+    if want != "float32" and cfg.TPU.COMPUTE_DTYPE == "float32":
+        cfg.TPU.COMPUTE_DTYPE = want
+    if t.RELOAD_DATALOADERS_EVERY_N_EPOCHS != 0:
+        raise ValueError(
+            "TRAINER.RELOAD_DATALOADERS_EVERY_N_EPOCHS is not supported: "
+            "SnippetLoader rebuilds its (reshuffled) epoch order every "
+            "epoch already — remove the key")
+    # The reference declares AUTO_SCALE_BATCH_SIZE but never calls
+    # Trainer.tune(), so it is inert there too; only the inert values pass.
+    if t.AUTO_SCALE_BATCH_SIZE not in ("binsearch", False, None, ""):
+        raise ValueError(
+            "TRAINER.AUTO_SCALE_BATCH_SIZE is not supported (it is inert "
+            "in the reference as well): set DATAMODULE.BATCH_SIZE "
+            "explicitly")
+    if int(t.CHECK_VAL_EVERY_N_EPOCH) < 1:
+        raise ValueError("TRAINER.CHECK_VAL_EVERY_N_EPOCH must be >= 1")

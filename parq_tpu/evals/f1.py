@@ -52,19 +52,42 @@ def _associate(dets: List, trks: List, iou_thresh: float):
     return matches, unmatched
 
 
+def _pairwise_iou(predictions, gts) -> np.ndarray:
+    """(n_pred, n_gt) 3D-IoU matrix, via the C++ native kernel when
+    available (falls back to the per-pair python iou3d). Computed once per
+    scene and reused by every IoU threshold — the reference recomputes a
+    fresh iou3d per (pred, gt, threshold) triple (f1_eval.py:36-62), which
+    is O(3·P·G) qhull calls on full ScanNet val."""
+    if not predictions or not gts:
+        return np.zeros((len(predictions), len(gts)), np.float32)
+    a = np.stack([to_odam(p[1]) for p in predictions])
+    b = np.stack([to_odam(g[1]) for g in gts])
+    from .. import native
+    if native.get_lib() is not None:
+        return native.iou3d_matrix(a, b).astype(np.float32)
+    m = np.zeros((len(a), len(b)), np.float32)
+    for i in range(len(a)):
+        for j in range(len(b)):
+            m[i, j] = iou3d(a[i], b[j])[0]
+    return m
+
+
 def match_sequence(total_gts, total_preds, total_tps, predictions, gts,
-                   threshold: float):
-    """Greedy per-class TP counting (ref: f1_eval.py:36-62)."""
+                   threshold: float, iou_matrix: np.ndarray = None):
+    """Greedy per-class TP counting (ref: f1_eval.py:36-62): each
+    prediction, in order, claims the first same-class unused GT whose IoU
+    exceeds the threshold."""
+    if iou_matrix is None:
+        iou_matrix = _pairwise_iou(predictions, gts)
     used_gts: List[int] = []
     for gt in gts:
         total_gts[gt[0]] += 1
-    for prediction in predictions:
-        pred_class, pred_bbx = prediction[0], prediction[1]
+    for p, prediction in enumerate(predictions):
+        pred_class = prediction[0]
         total_preds[pred_class] += 1
         for i, gt in enumerate(gts):
             if gt[0] == pred_class:
-                iou, _ = iou3d(to_odam(pred_bbx), to_odam(gt[1]))
-                if iou > threshold and i not in used_gts:
+                if iou_matrix[p, i] > threshold and i not in used_gts:
                     used_gts.append(i)
                     total_tps[pred_class] += 1
 
@@ -144,15 +167,25 @@ class F1Calculator:
         return out
 
     def _make_gt_list(self, gt_list):
+        # The reference jitters GT corners with the GLOBAL np.random
+        # (ref: f1_eval.py:364) to break IoU ties, which makes F1
+        # run-to-run irreproducible. We keep the jitter (same magnitude,
+        # same scalar-broadcast shape) but seed it from the corner content
+        # itself, so two validate() runs over the same data produce
+        # identical metrics regardless of call order (DIVERGENCES #7/#8
+        # seed policy).
+        import zlib
         out = []
-        rng = np.random  # jitter matches ref f1_eval.py:364 (breaks IoU ties)
         for gt in gt_list:
             labels = np.asarray(gt["labels"])
             corners = np.asarray(gt["gt_corners_world"])
-            out.append([
-                [int(labels[j]), corners[j] + rng.randn(1) * 0.001, 1.0, -1]
-                for j in range(corners.shape[0])
-            ])
+            dets = []
+            for j in range(corners.shape[0]):
+                c = np.ascontiguousarray(corners[j], dtype=np.float64)
+                rng = np.random.default_rng(zlib.crc32(c.tobytes()))
+                dets.append([int(labels[j]),
+                             c + rng.standard_normal(1) * 0.001, 1.0, -1])
+            out.append(dets)
         return out
 
     def _match_into(self, store, batch_dets, scene_names,
@@ -181,6 +214,10 @@ class F1Calculator:
     # -- final metrics ---------------------------------------------------
     def compute_metrics(self, verbose: bool = True) -> Dict[str, float]:
         metrics = {}
+        # one IoU matrix per scene, shared by all thresholds
+        iou_matrices = {
+            scene: _pairwise_iou(self.preds[scene], self.gts.get(scene, []))
+            for scene in self.preds}
         for threshold in self.f1_iou_thresh:
             total_gts = {k: 0 for k in CARE_CLASSES}
             total_preds = {k: 0 for k in CARE_CLASSES}
@@ -188,7 +225,7 @@ class F1Calculator:
             for scene in self.preds:
                 match_sequence(total_gts, total_preds, total_tps,
                                self.preds[scene], self.gts.get(scene, []),
-                               threshold)
+                               threshold, iou_matrix=iou_matrices[scene])
             accuracy, recall, f1, per_class = get_f1(
                 total_gts, total_preds, total_tps, verbose=verbose)
             metrics[f"{threshold}_accuracy"] = accuracy

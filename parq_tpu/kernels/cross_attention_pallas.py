@@ -624,5 +624,14 @@ def _prep_flash_args(q, k, v, block_k, k_transposed, n_valid, dropout_rate,
         q_tile = Q // G
     if q_tile is not None and Q % q_tile:
         raise ValueError(f"Q={Q} not divisible by q_tile={q_tile}")
+    if dropout_rate > 0.0 and G == 1 and q_tile is not None and q_tile < Q:
+        # _keep_mask rows are tile-local and all tiles share seed[0], so a
+        # scalar seed + q-tiling would draw bit-identical dropout masks in
+        # every q-tile (correlated dropout). Callers must pass one seed per
+        # tile (a (Q//q_tile,) vector) instead.
+        raise ValueError(
+            "scalar dropout_seed combined with q_tile replicates the "
+            "dropout mask across q-tiles; pass a (Q//q_tile,)-shaped seed "
+            "vector instead")
     return (q, k, v, seed, block_k, n_valid, float(dropout_rate), q_tile,
             bool(interpret))

@@ -540,7 +540,13 @@ class PARQDecoder(nn.Module):
         use_keys = need_keys  # static
 
         batched = (self.batched_grad and not deterministic
-                   and self.share_weights and not self.remat and L > 1)
+                   and self.share_weights and not self.remat and L > 1
+                   # only worthwhile with the flash kernel: its
+                   # precomputed-forward VJP is what lets phase 2 skip the
+                   # attention recompute. On non-kernel configs (f32
+                   # parity, CPU) phase 1 + phase 2 would run the full XLA
+                   # attention forward twice with no folded-backward win.
+                   and flash)
         if batched:
             # Phase 1: sequential trajectory pass over ALL L iterations.
             # new_ref is stop_gradient-ed inside the iteration, so nothing

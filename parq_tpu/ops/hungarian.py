@@ -175,27 +175,38 @@ def match_single(
                      axis=-1)                              # (Q, K)
     cost = cost_bbox * c_bbox + cost_class * c_class       # (Q, K)
 
-    # pad rows (invalid targets) get a flat cost — assignment of real rows
-    # is unaffected (any completion costs the same). LAP needs rows <= cols;
-    # valid targets always precede padding, so truncating to Q rows only
-    # drops pad rows (or surplus targets no assignment could cover anyway).
-    Kr = min(K, Q)
-    cost_t = jnp.where(tgt_valid[:Kr, None], cost.T[:Kr], 1e4)  # (Kr, Q)
-    # only iterate the sequential augmenting-path loop over VALID targets
-    # (they always precede padding); skipped rows return col4row = −1
-    n_valid = jnp.minimum(jnp.sum(tgt_valid.astype(jnp.int32)), Kr)
-    col4row = solve_lap(cost_t, n_rows=n_valid)            # (Kr,)
+    if K <= Q:
+        # pad rows (invalid targets) get a flat cost — assignment of real
+        # rows is unaffected (any completion costs the same). LAP needs
+        # rows <= cols; valid targets always precede padding.
+        cost_t = jnp.where(tgt_valid[:, None], cost.T, 1e4)   # (K, Q)
+        # only iterate the sequential augmenting-path loop over VALID
+        # targets (they always precede padding); skipped rows stay −1
+        n_valid = jnp.sum(tgt_valid.astype(jnp.int32))
+        col4row = solve_lap(cost_t, n_rows=n_valid)           # (K,)
 
-    # scatter: query → target from the LAP. Pad rows have col4row == −1,
-    # and jax WRAPS negative indices even under mode="drop" (−1 → Q−1,
-    # silently clobbering the last query's match) — route them to the
-    # out-of-bounds index Q, which drop mode genuinely discards.
-    hung_assign = jnp.full((Q,), -1, jnp.int32)
-    scatter_tgt = jnp.where(tgt_valid[:Kr],
-                            jnp.arange(Kr, dtype=jnp.int32), -1)
-    safe_col = jnp.where(col4row >= 0, col4row, Q)
-    hung_assign = hung_assign.at[safe_col].set(scatter_tgt, mode="drop")
-    is_hungarian = hung_assign >= 0
+        # scatter: query → target from the LAP. Pad rows have col4row ==
+        # −1, and jax WRAPS negative indices even under mode="drop" (−1 →
+        # Q−1, silently clobbering the last query's match) — route them to
+        # the out-of-bounds index Q, which drop mode genuinely discards.
+        hung_assign = jnp.full((Q,), -1, jnp.int32)
+        scatter_tgt = jnp.where(tgt_valid,
+                                jnp.arange(K, dtype=jnp.int32), -1)
+        safe_col = jnp.where(col4row >= 0, col4row, Q)
+        hung_assign = hung_assign.at[safe_col].set(scatter_tgt, mode="drop")
+        is_hungarian = hung_assign >= 0
+    else:
+        # More target slots than queries (static): solve the TRANSPOSED
+        # problem — rows = queries, cols = targets. Invalid target columns
+        # get a flat cost, so the optimum matches as many queries as there
+        # are valid targets, over ALL of them (the reference's scipy LSA of
+        # the (Q, G) matrix picks the optimal G-subset too — truncating
+        # targets to the first Q would not).
+        cost_q = jnp.where(tgt_valid[None, :], cost, 1e4)     # (Q, K)
+        t4q = solve_lap(cost_q)                               # (Q,)
+        matched_valid = jnp.take(tgt_valid, jnp.clip(t4q, 0, K - 1))
+        hung_assign = jnp.where((t4q >= 0) & matched_valid, t4q, -1)
+        is_hungarian = hung_assign >= 0
 
     # --- proximity extension -------------------------------------------
     inside = (c_bbox < ratio) & tgt_valid[None, :]          # (Q, K)

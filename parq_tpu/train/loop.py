@@ -58,16 +58,23 @@ def to_device_batch(batch: Dict, mesh=None) -> Dict:
     return out
 
 
-def device_prefetch(iterable, mesh, depth: int = 1):
-    """Yield (host_batch, device_batch) with the H2D copy of batch i+1
-    issued before step i is consumed — jax transfers are async, so the
+def device_prefetch(iterable, mesh, depth: int = 1, state_fn=None):
+    """Yield (host_batch, device_batch, state) with the H2D copy of batch
+    i+1 issued before step i is consumed — jax transfers are async, so the
     copy overlaps the device step (the double-buffered H2D stage of the
     input pipeline; the reference gets the same from CUDA pinned-memory
-    DataLoader + non_blocking copies)."""
+    DataLoader + non_blocking copies).
+
+    `state` is `state_fn()` captured at FETCH time of that same batch, not
+    at yield time — the loader is `depth` batches ahead when a batch is
+    consumed, so a yield-time snapshot would record a position past batches
+    that were prefetched but never trained (a resume from such a
+    checkpoint would silently skip them)."""
     from collections import deque
     buf = deque()
     for host in iterable:
-        buf.append((host, to_device_batch(host, mesh)))
+        snap = state_fn() if state_fn is not None else None
+        buf.append((host, to_device_batch(host, mesh), snap))
         if len(buf) > depth:
             yield buf.popleft()
     while buf:
@@ -265,7 +272,11 @@ class Trainer:
         test/validate — ref: train.py:129-142 reloads best ckpt)."""
         try:
             best = self.ckpt_mgr.best_step()
-        except Exception:
+        except Exception as e:
+            logger.warning(
+                "best_step() failed (%s: %s) — falling back to the LAST "
+                "checkpoint state for the final eval; check the retention "
+                "config (CALLBACK.MONITOR/SAVE_TOP_K)", type(e).__name__, e)
             best = None
         if best is None:
             return False
@@ -310,7 +321,15 @@ class Trainer:
             else:
                 epoch_iter = train_loader
             n_done = 0
-            for batch, dev_batch in device_prefetch(epoch_iter, self.mesh):
+            epoch_now = train_loader.epoch
+            # CHECK_VAL_EVERY_N_EPOCH (ref: train.py:118): validation only
+            # runs in epochs where (epoch + 1) % N == 0, Lightning's rule.
+            val_this_epoch = (epoch_now + 1) % max(
+                int(cfg.TRAINER.CHECK_VAL_EVERY_N_EPOCH), 1) == 0
+            state_fn = (train_loader.state_dict
+                        if epoch_iter is train_loader else None)
+            for batch, dev_batch, data_state in device_prefetch(
+                    epoch_iter, self.mesh, state_fn=state_fn):
                 if overfit_n and len(overfit_cache) < overfit_n:
                     overfit_cache.append(batch)
                 n_done += 1
@@ -344,7 +363,7 @@ class Trainer:
                     self.log_scalars(host, self.global_step, "train")
                     logger.info("step %d loss %.4f", self.global_step,
                                 host["total_loss"])
-                if val_loader is not None and \
+                if val_loader is not None and val_this_epoch and \
                         self.global_step % val_every == 0:
                     val_metrics = self.validate(val_loader,
                                                 limit_batches=limit_val)
@@ -352,7 +371,9 @@ class Trainer:
                                      "val/metrics")
                     save_state(self.ckpt_mgr, self.global_step, self.state,
                                metrics=val_metrics,
-                               data_state=train_loader.state_dict())
+                               data_state=(data_state if data_state
+                                           is not None else
+                                           train_loader.state_dict()))
             if val_loader is None:
                 save_state(self.ckpt_mgr, self.global_step, self.state,
                            data_state=train_loader.state_dict())
@@ -396,6 +417,14 @@ class Trainer:
                 print(f"{batch['scene_name'][0]}: inference time {dt:.4f}s "
                       f"(running mean {np.mean(times[1:] or times):.4f}s)")
             host["scene_name"] = batch["scene_name"]
+            if i == 0 and cfg.LOG_IMAGES and self._writer is not None:
+                # val-stage wireframe overlays at batch 0, like the
+                # reference's log_step(stage="val") at batch_idx == 0
+                # (ref: parq_lightning.py:108,228-241). Only when a writer
+                # already exists — standalone eval.py runs stay file-free.
+                self.log_images(dev_batch | {
+                    k: batch[k] for k in ("scene_name", "snippet_id")
+                    if k in batch}, outputs, "val")
             if "obbs_padded" in dev_batch:
                 targets = parse_targets(Obb3D(dev_batch["obbs_padded"]),
                                         Pose(dev_batch["T_world_local"]),

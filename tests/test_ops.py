@@ -224,3 +224,31 @@ def test_pixel_aligned_features_semantics(rng):
     np.testing.assert_allclose(got, expect, atol=1e-5)
     # valid mask: every view identical here
     np.testing.assert_array_equal(np.asarray(valid)[:, 0], tvalid.numpy())
+
+
+def test_match_single_more_targets_than_queries(rng):
+    """K > Q (static): the transposed solve must pick the optimal target
+    SUBSET over all valid targets, exactly like scipy's LSA of the (Q, G)
+    matrix (not just the first Q targets)."""
+    import jax
+    from scipy.optimize import linear_sum_assignment
+    Q, K, C = 16, 24, 9
+    for n_valid in (20, 24, 5):
+        logits = rng.randn(Q, C + 1).astype(np.float32)
+        coord = rng.uniform(-3, 3, (Q, 3)).astype(np.float32)
+        center = rng.uniform(-3, 3, (K, 3)).astype(np.float32)
+        labels = rng.randint(0, C, (K,)).astype(np.int32)
+        valid = np.arange(K) < n_valid
+        res = match_single(jnp.asarray(logits), jnp.asarray(coord),
+                           jnp.asarray(labels), jnp.asarray(center),
+                           jnp.asarray(valid), jax.random.PRNGKey(0))
+        assign = np.asarray(res.assign)
+        hung = np.asarray(res.is_hungarian)
+
+        prob = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+        c_bbox = np.abs(coord[:, None] - center[None]).sum(-1)
+        cost = 0.25 * c_bbox + 2.0 * (-prob[:, labels])
+        rows, cols = linear_sum_assignment(cost[:, :n_valid])
+        expected = {r: c for r, c in zip(rows, cols)}
+        got = {q: int(assign[q]) for q in range(Q) if hung[q]}
+        assert got == expected, (n_valid, got, expected)
