@@ -72,8 +72,8 @@ def main():
 
     for_vis = bool(cfg.MODEL.DECODER.FOR_VIS)
     metrics = trainer.validate(
-        loader, limit_batches=1.0, verbose=True, timing=True,
-        for_vis=for_vis, vis_dir="demo_vis" if for_vis else None)
+        loader, limit_batches=cfg.TRAINER.LIMIT_VAL_BATCHES, verbose=True,
+        timing=True, for_vis=for_vis, vis_dir="demo_vis" if for_vis else None)
     for key, value in metrics.items():
         print(key, value)
 
