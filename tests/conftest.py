@@ -20,6 +20,12 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute tests (release-dims rehearsals); "
+        "deselect with -m 'not slow'")
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
