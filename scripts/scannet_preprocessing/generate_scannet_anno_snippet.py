@@ -1,25 +1,37 @@
 #!/usr/bin/env python
 """Generate ScanNet snippet annotations (offline step 2).
 
-Re-derivation of ref scripts/scannet_preprocessing/
-generate_scannet_anno_snippet.py: per scene, read all camera poses, select
-keyframes (≥15° rotation or ≥0.1 m translation between kept frames), group
-into windows of 3 (train: overlap-shifted; val: non-overlapping; plus w1 /
-allframes variants), score per-frame object difficulty from depth-
-backprojected point counts inside each box and FOV truncation, and emit:
-  image_anno_{scene}.pkl, scene_anno/{scene}.pkl,
-  scannet_{split}_gt_roidb.pkl (objects with difficulty ≥ 3 dropped).
+Faithful re-derivation of ref scripts/scannet_preprocessing/
+generate_scannet_anno_snippet.py in two stages matching the reference's
+intermediate artifacts:
+
+  stage 1 (``--stage snippets``, ref save_snippet_pkl:139-263): per scene,
+  read every ``frame-{:06d}.pose.txt``, run view selection (train:
+  overlap-shifted windows ×10 over raw frame ids; val: coupled
+  non-overlapping windows; plus w1 / allframes), compute per-snippet
+  per-object visibility — max over frames of depth-point-in-box counts and
+  of FOV truncation ratios — and write ``image_anno_{scene}.pkl``.
+
+  stage 2 (``--stage roidb``, ref get_roidb:266-366): read the image_anno
+  pickles, map catids → RayTran class ids, drop objects with difficulty
+  ≥ 3, drop snippets with no valid object, and write
+  ``scene_anno/{scene}.pkl`` + ``scannet_{split}_gt_roidb.pkl``.
+
+Output pickles are layout-compatible with reference-preprocessed data, so
+either toolchain's artifacts feed either framework's dataloader.
 
 Parallelism: multiprocessing pool sharded round-robin over scenes (the
-reference used Ray actors + CUDA; numpy on host is ample offline).
+reference used Ray actors + CUDA; vectorized numpy on host is ample).
 
-Expected raw layout per scene (ScanNet exports):
-  {scans}/{scene}/pose/{frame}.txt        4x4 world_from_camera
-  {scans}/{scene}/intrinsic/intrinsic_color.txt (or depth)
-  {scans}/{scene}/depth/{frame}.png       uint16 mm (optional: difficulty)
-  {scan2cad_anno}/{scene}.pkl             from parse_scan2cad.py
+Expected raw layout per scene (ScanNet .sens exports):
+  {scans}/{scene}/pose/frame-{:06d}.pose.txt    4x4 world_from_camera
+  {scans}/{scene}/intrinsic/intrinsic_color.txt + intrinsic_depth.txt (4x4)
+  {scans}/{scene}/color/frame-{:06d}.color.jpg
+  {scans}/{scene}/depth/frame-{:06d}.depth.pgm  uint16 mm
+  {anno}/{scene}.pkl                            from parse_scan2cad.py
 """
 import argparse
+import glob
 import multiprocessing as mp
 import os
 import pickle
@@ -28,13 +40,10 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-from processing_utils import (depth_to_points, difficulty_level,  # noqa: E402
-                              make_corners, points_in_obb, select_keyframes,
-                              split_list, truncation_ratio, view_selection)
-
-
-def read_pose(path):
-    return np.loadtxt(path).reshape(4, 4)
+from processing_utils import (CLASS_TO_INDEX_RAYTRAN,  # noqa: E402
+                              catids_to_labels, depth_to_point_cloud,
+                              fov_truncation_ratio, get_level,
+                              points_inside_corners, view_selection)
 
 
 def read_depth(path):
@@ -42,85 +51,161 @@ def read_depth(path):
     return np.asarray(Image.open(path), np.float32) / 1000.0
 
 
-def list_frames(scene_dir):
+def read_scene_poses(scene_dir):
+    """All finite frame poses, id-ordered (ref: worker_thread:106-126 —
+    the reference indexes poses by color-frame count; non-finite poses are
+    skipped)."""
     pose_dir = os.path.join(scene_dir, "pose")
-    ids = sorted(int(f.split(".")[0]) for f in os.listdir(pose_dir)
-                 if f.endswith(".txt"))
-    return ids
+    poses = {}
+    for f in sorted(os.listdir(pose_dir)):
+        if not f.endswith(".txt"):
+            continue
+        fid = int(f.replace("frame-", "").split(".")[0])
+        T = np.loadtxt(os.path.join(pose_dir, f)).reshape(4, 4)
+        if np.all(np.isfinite(T)):
+            poses[fid] = T
+    return dict(sorted(poses.items()))
 
 
-def process_scene(scans_dir, anno_dir, scene, variant, window,
-                  use_depth=True, image_size=(1296, 968)):
+def _frame_file(scene_dir, sub, fid, suffix):
+    return os.path.join(scene_dir, sub, f"frame-{fid:06d}.{suffix}")
+
+
+def process_scene(scans_dir, anno_dir, out_dir, scene, variant, window,
+                  use_depth=True, image_shape=None):
+    """Stage 1 for one scene → image_anno_{scene}.pkl
+    (ref: save_snippet_pkl, generate_scannet_anno_snippet.py:139-263)."""
     scene_dir = os.path.join(scans_dir, scene)
     anno_path = os.path.join(anno_dir, f"{scene}.pkl")
     if not os.path.exists(anno_path):
-        return None
+        return None  # no oriented boxes for this scene (ref: :160-166)
     with open(anno_path, "rb") as f:
-        boxes = pickle.load(f)
-
-    frame_ids = list_frames(scene_dir)
-    poses = {}
-    for i in frame_ids:
-        T = read_pose(os.path.join(scene_dir, "pose", f"{i}.txt"))
-        if np.all(np.isfinite(T)):
-            poses[i] = T
-    frame_ids = [i for i in frame_ids if i in poses]
-    if not frame_ids:
+        scene_anno = pickle.load(f)
+    aligned = scene_anno["aligned_models"]
+    if not aligned:
         return None
 
-    intr_path = os.path.join(scene_dir, "intrinsic", "intrinsic_color.txt")
-    intrinsic = np.loadtxt(intr_path)[:3, :3] if os.path.exists(intr_path) \
-        else np.array([[1170.0, 0, 648], [0, 1170.0, 484], [0, 0, 1]])
+    poses = read_scene_poses(scene_dir)
+    if not poses:
+        return None
+    snippets = view_selection(poses, window=window, variant=variant)
 
-    kept_local = select_keyframes([poses[i] for i in frame_ids])
-    kept = [frame_ids[k] for k in kept_local]
-    snippets = view_selection(kept, window=window, variant=variant)
+    def intr(name):
+        p = os.path.join(scene_dir, "intrinsic", name)
+        return np.loadtxt(p).astype(np.float32) if os.path.exists(p) \
+            else np.eye(4, dtype=np.float32)
 
-    n_box = len(boxes["bboxes"])
-    scene_out = {}
+    intr_depth = intr("intrinsic_depth.txt")
+    intr_color = intr("intrinsic_color.txt")
+
+    if image_shape is None:
+        # reference reads the first color jpg of the first snippet for the
+        # image shape (ref: :190-199); fall back to ScanNet's 968x1296
+        shape = (968, 1296)
+        for frames in snippets[:1]:
+            cpath = _frame_file(scene_dir, "color", frames[0], "color.jpg")
+            if os.path.exists(cpath):
+                from PIL import Image
+                shape = np.asarray(Image.open(cpath)).shape[:2]
+        image_shape = shape
+
+    corners_scan = np.stack([m["bbox_corners"] for m in aligned])  # (K,8,3)
+    K = corners_scan.shape[0]
+    hom_corners = np.concatenate([corners_scan, np.ones((K, 8, 1))], -1)
+
+    roidb_scene = {
+        "scene_name": scene,
+        "bboxes": [m["bboxes"] for m in aligned],
+        "sym": [m["sym"] for m in aligned],
+        "T_scan_object": [m["T_so"] for m in aligned],
+        "labels": [m["catid_cad"] for m in aligned],
+        "snippets": [],
+    }
     for sid, frames in enumerate(snippets):
-        # per-snippet difficulty: worst frame score per object
-        difficulties = np.zeros(n_box, np.int64)
-        for b in range(n_box):
-            bbox = boxes["bboxes"][b]
-            T_so = boxes["T_scan_object"][b]
-            corners_w = (make_corners(bbox) @ T_so[:3, :3].T) + T_so[:3, 3]
-            counts, truncs = [], []
-            for fi in frames:
-                trunc = truncation_ratio(corners_w, intrinsic, poses[fi],
-                                         image_size[0], image_size[1])
-                n_in = 0
-                if use_depth:
-                    dpath = os.path.join(scene_dir, "depth", f"{fi}.png")
-                    if os.path.exists(dpath):
-                        pts = depth_to_points(read_depth(dpath), intrinsic,
-                                              poses[fi])
-                        n_in = int(points_in_obb(pts, bbox, T_so).sum())
-                    else:
-                        n_in = 2000  # no depth → assume visible
-                else:
-                    n_in = 2000
-                counts.append(n_in)
-                truncs.append(trunc)
-            difficulties[b] = difficulty_level(max(counts), min(truncs))
+        counts, ratios, T_list, intr_list = [], [], [], []
+        for fid in frames:
+            T_scan_camera = poses[fid]
+            T_list.append(T_scan_camera)
+            intr_list.append(np.copy(intr_color))
+            T_camera_scan = np.linalg.inv(T_scan_camera)
+            corners_cam = (hom_corners @ T_camera_scan.T)[..., :3]
+            ratios.append(fov_truncation_ratio(corners_cam, image_shape,
+                                               intr_color))
+            if use_depth:
+                dpath = _frame_file(scene_dir, "depth", fid, "depth.pgm")
+                if not os.path.exists(dpath):
+                    dpath = os.path.join(scene_dir, "depth", f"{fid}.png")
+                pc = depth_to_point_cloud(read_depth(dpath), intr_depth)
+                counts.append(points_inside_corners(corners_cam, pc))
+            else:
+                counts.append(np.full(K, 10 ** 6))  # no depth → keep all
+        # per-object visibility = BEST frame in the snippet (ref: :243-248)
+        roidb_scene["snippets"].append({
+            "snippet_id": sid,
+            "image_ids": list(frames),
+            "intrinsic": intr_list,
+            "T_scan_camera": T_list,
+            "point_cloud_num_list": np.max(np.stack(counts), axis=0),
+            "truncation_ratio_list": np.max(np.stack(ratios), axis=0),
+        })
 
-        keep = difficulties < 3
-        scene_out[sid] = {
-            "image_ids": frames,
-            "T_scan_camera": [poses[fi] for fi in frames],
-            "intrinsic": [intrinsic] * len(frames),
-            "annotations": {
-                "bboxes": np.asarray(boxes["bboxes"])[keep],
-                "T_scan_object": np.asarray(boxes["T_scan_object"])[keep],
-                "label": np.asarray(boxes["label"])[keep].astype(np.float64),
-                "sym": [boxes["sym"][i] for i in np.where(keep)[0]],
-                "difficulty": difficulties[keep],
-            },
-        }
-    return scene, scene_out
+    with open(os.path.join(out_dir, f"image_anno_{scene}.pkl"), "wb") as f:
+        pickle.dump(roidb_scene, f)
+    return scene
 
 
-def worker(args):
+def get_roidb(out_dir, split, scene_filter=None):
+    """Stage 2: difficulty-filtered roidb + per-scene annotation pickles
+    (ref: get_roidb, generate_scannet_anno_snippet.py:266-366)."""
+    scene_anno_path = os.path.join(out_dir, "scene_anno")
+    os.makedirs(scene_anno_path, exist_ok=True)
+    item_list = []
+    for path in sorted(glob.glob(os.path.join(out_dir, "image_anno*"))):
+        with open(path, "rb") as f:
+            roidb_scene = pickle.load(f)
+        scene_name = roidb_scene["scene_name"]
+        if scene_filter is not None and scene_name not in scene_filter:
+            continue
+        ids = catids_to_labels(roidb_scene["labels"])
+        bboxes = roidb_scene["bboxes"]
+        T_scan_object = roidb_scene["T_scan_object"]
+        sym = roidb_scene["sym"]
+
+        item_one_scene = {}
+        for snip in roidb_scene["snippets"]:
+            pc_nums = snip["point_cloud_num_list"]
+            ratios = snip["truncation_ratio_list"]
+            valid = [i for i in range(len(bboxes))
+                     if pc_nums is None
+                     or get_level(pc_nums[i], ratios[i]) < 3]
+            if not valid:
+                continue  # snippet with no visible object dropped (ref:
+                # :332-334)
+            item_list.append({"scene_name": scene_name,
+                              "snippet_id": snip["snippet_id"]})
+            item_one_scene[snip["snippet_id"]] = {
+                "image_ids": snip["image_ids"],
+                "T_scan_camera": snip["T_scan_camera"],
+                "intrinsic": snip["intrinsic"],
+                "annotations": {
+                    "label": [ids[i] for i in valid],
+                    "bboxes": [bboxes[i] for i in valid],
+                    "sym": [sym[i] for i in valid],
+                    "T_scan_object": [T_scan_object[i] for i in valid],
+                },
+            }
+        with open(os.path.join(scene_anno_path, f"{scene_name}.pkl"),
+                  "wb") as f:
+            pickle.dump(item_one_scene, f)
+
+    roidb_file = os.path.join(out_dir, f"scannet_{split}_gt_roidb.pkl")
+    with open(roidb_file, "wb") as f:
+        pickle.dump(item_list, f)
+    print(f"wrote {len(item_list)} snippets to {roidb_file}")
+    return item_list
+
+
+def _worker(args):
     return process_scene(*args)
 
 
@@ -131,6 +216,8 @@ def main():
                     help="parse_scan2cad.py output directory")
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--split", default="train", choices=["train", "val"])
+    ap.add_argument("--stage", default="all",
+                    choices=["all", "snippets", "roidb"])
     ap.add_argument("--variant", default=None,
                     choices=[None, "overlap", "nonoverlap", "w1",
                              "allframes"])
@@ -146,35 +233,24 @@ def main():
                                else "nonoverlap")
     if args.scene_list:
         with open(args.scene_list) as f:
-            scenes = [l.strip() for l in f if l.strip()]
+            scenes = [ln.strip() for ln in f if ln.strip()]
     else:
         scenes = sorted(os.listdir(args.scans))
 
-    os.makedirs(os.path.join(args.out, "scene_anno"), exist_ok=True)
-    work = [(args.scans, args.anno, s, variant, args.window,
-             not args.no_depth) for s in scenes]
-
-    if args.workers > 1:
-        with mp.Pool(args.workers) as pool:
-            results = pool.map(worker, work)
-    else:
-        results = [worker(w) for w in work]
-
-    roidb = []
-    for res in results:
-        if res is None:
-            continue
-        scene, scene_out = res
-        with open(os.path.join(args.out, "scene_anno", f"{scene}.pkl"),
-                  "wb") as f:
-            pickle.dump(scene_out, f)
-        for sid in scene_out:
-            roidb.append({"scene_name": scene, "snippet_id": sid})
-
-    out_pkl = os.path.join(args.out, f"scannet_{args.split}_gt_roidb.pkl")
-    with open(out_pkl, "wb") as f:
-        pickle.dump(roidb, f)
-    print(f"wrote {len(roidb)} snippets to {out_pkl}")
+    os.makedirs(args.out, exist_ok=True)
+    if args.stage in ("all", "snippets"):
+        work = [(args.scans, args.anno, args.out, s, variant, args.window,
+                 not args.no_depth) for s in scenes]
+        if args.workers > 1:
+            with mp.Pool(args.workers) as pool:
+                done = pool.map(_worker, work)
+        else:
+            done = [_worker(w) for w in work]
+        print(f"stage snippets: {sum(d is not None for d in done)}/"
+              f"{len(scenes)} scenes")
+    if args.stage in ("all", "roidb"):
+        get_roidb(args.out, args.split,
+                  scene_filter=set(scenes) if args.scene_list else None)
 
 
 if __name__ == "__main__":

@@ -1,15 +1,17 @@
 """Offline preprocessing utilities for ScanNet + scan2cad.
 
 Numpy re-derivation of the reference's preprocessing helpers
-(ref: scripts/scannet_preprocessing/processing_utils.py): TQS→matrix,
-box corners, the 9-class RayTran category map, depth backprojection,
-point-in-OBB tests, FOV truncation, difficulty levels, and the four view
-selection strategies. Host-side only (the reference used CUDA for the point
-clouds; numpy is ample for offline work).
+(ref: scripts/scannet_preprocessing/processing_utils.py), with the exact
+protocol-defining math: TQS→matrix, box corners, the 9-class RayTran
+category map, homogeneous depth backprojection, the edge-vector
+point-in-box test, corner-projection FOV truncation, the difficulty
+levels, and the four view-selection strategies (including the train
+split's raw-frame-id overlap shifts ×10). Host-side only — the reference
+ran the point-cloud math on CUDA; vectorized numpy is ample offline.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
@@ -35,16 +37,18 @@ def quat_to_matrix(q: Sequence[float]) -> np.ndarray:
 
 def tqs_to_matrix(t: Sequence[float], q: Sequence[float],
                   s: Sequence[float]) -> np.ndarray:
-    """scan2cad trs record → 4x4 (rotation+translation; scale applied to the
-    box extents separately, as the reference does)."""
+    """scan2cad trs record → 4x4 with per-axis scale folded into the
+    rotation columns (ref: make_M_from_tqs, processing_utils.py:19-29)."""
     T = np.eye(4)
-    T[:3, :3] = quat_to_matrix(q)
+    T[:3, :3] = quat_to_matrix(q) @ np.diag(s)
     T[:3, 3] = np.asarray(t)
     return T
 
 
 def make_corners(bbox: np.ndarray) -> np.ndarray:
-    """(6,) [xmin,xmax,ymin,ymax,zmin,zmax] → (8, 3) reference ordering."""
+    """(6,) [xmin,xmax,ymin,ymax,zmin,zmax] → (8, 3) reference ordering
+    (ref: get_corner_by_dims, processing_utils.py:74-86 — corners 0-3 at
+    zmin, 4-7 at zmax, x alternating -++-)."""
     x0, x1, y0, y1, z0, z1 = bbox
     return np.array([
         [x0, y0, z0], [x1, y0, z0], [x1, y1, z0], [x0, y1, z0],
@@ -53,136 +57,221 @@ def make_corners(bbox: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# category mapping (9-class RayTran subset, ref: processing_utils.py:116-129)
+# category mapping (9-class RayTran subset, ref: processing_utils.py:116-182)
 # ---------------------------------------------------------------------------
 
-CARE_CATEGORY = {
-    "chair": 0, "table": 1, "cabinet": 2, "trash bin": 3, "bookshelf": 4,
+CLASS_TO_INDEX_RAYTRAN = {
+    "chair": 0, "table": 1, "cabinet": 2, "trashbin": 3, "bookshelf": 4,
     "display": 5, "sofa": 6, "bathtub": 7, "other": 8,
 }
 
-# scan2cad catid_cad prefixes → category name (ShapeNet synsets)
-SYNSET_TO_NAME = {
-    "03001627": "chair", "04379243": "table", "02933112": "cabinet",
-    "02747177": "trash bin", "02871439": "bookshelf", "03211117": "display",
-    "04256520": "sofa", "02808440": "bathtub",
+# scan2cad catid_cad (ShapeNet synset) → category name
+CATID_TO_NAME = {
+    "03211117": "display", "04379243": "table", "02808440": "bathtub",
+    "02747177": "trashbin", "04256520": "sofa", "03001627": "chair",
+    "02933112": "cabinet", "02871439": "bookshelf", "00000000": "other",
 }
 
 
-def synset_to_label(catid_cad: str) -> int:
-    return CARE_CATEGORY[SYNSET_TO_NAME.get(str(catid_cad), "other")]
+def catids_to_labels(catids: Sequence[str]) -> List[int]:
+    """catid_cad list → RayTran class ids, unknowns → 'other'
+    (ref: get_label + name2ids, processing_utils.py:185-204)."""
+    return [CLASS_TO_INDEX_RAYTRAN[CATID_TO_NAME.get(str(c), "other")]
+            for c in catids]
 
 
 # ---------------------------------------------------------------------------
 # depth → points, point-in-box, truncation, difficulty
 # ---------------------------------------------------------------------------
 
-def depth_to_points(depth: np.ndarray, intrinsic: np.ndarray,
-                    T_world_camera: np.ndarray,
-                    stride: int = 4) -> np.ndarray:
-    """Depth map (H, W) in meters → (N, 3) world points (strided)."""
-    H, W = depth.shape
-    v, u = np.mgrid[0:H:stride, 0:W:stride]
-    d = depth[::stride, ::stride]
-    valid = d > 0
-    u, v, d = u[valid], v[valid], d[valid]
-    x = (u - intrinsic[0, 2]) / intrinsic[0, 0] * d
-    y = (v - intrinsic[1, 2]) / intrinsic[1, 1] * d
-    pts_c = np.stack([x, y, d], axis=-1)
-    R = T_world_camera[:3, :3]
-    t = T_world_camera[:3, 3]
-    return pts_c @ R.T + t
+def depth_to_point_cloud(depth: np.ndarray,
+                         intrinsic_depth: np.ndarray) -> np.ndarray:
+    """Depth map (H, W) in meters → (N, 3) camera-frame points with z > 0.
+
+    Full resolution, homogeneous unprojection by the inverse 4x4 depth
+    intrinsic — exactly the reference's construction
+    (ref: get_point_cloud, processing_utils.py:132-154)."""
+    h, w = depth.shape
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    pc = np.stack([xx * depth, yy * depth, depth, np.ones_like(depth)],
+                  axis=2).reshape(-1, 4)
+    pc = pc @ np.linalg.inv(intrinsic_depth).T
+    return pc[pc[:, 2] > 0][:, :3]
 
 
-def points_in_obb(points: np.ndarray, bbox: np.ndarray,
-                  T_world_object: np.ndarray) -> np.ndarray:
-    """(N,3) world points inside the oriented box → bool (N,)."""
-    R = T_world_object[:3, :3]
-    t = T_world_object[:3, 3]
-    local = (points - t) @ R  # R is orthonormal: inverse = transpose
-    return ((local[:, 0] >= bbox[0]) & (local[:, 0] <= bbox[1])
-            & (local[:, 1] >= bbox[2]) & (local[:, 1] <= bbox[3])
-            & (local[:, 2] >= bbox[4]) & (local[:, 2] <= bbox[5]))
+def points_inside_corners(corners: np.ndarray,
+                          points: np.ndarray) -> np.ndarray:
+    """Count points inside each box given its 8 corners.
+
+    corners (K, 8, 3), points (N, 3), same frame. The edge-vector test from
+    corner 4 along the box edges v45/v40/v47: 0 < (p-c4)·v < v·v
+    (ref: get_point_cloud_inside_box3d, processing_utils.py:237-263).
+    Returns int64 (K,)."""
+    c4 = corners[:, 4]                              # (K, 3)
+    edges = np.stack([corners[:, 5] - c4, corners[:, 0] - c4,
+                      corners[:, 7] - c4], axis=1)  # (K, 3 edges, 3)
+    rel = points[None, :, :] - c4[:, None, :]       # (K, N, 3)
+    m = np.einsum("knj,kej->kne", rel, edges)       # (K, N, 3 edges)
+    vv = np.einsum("kej,kej->ke", edges, edges)     # (K, 3 edges)
+    inside = np.all((m > 0) & (m < vv[:, None, :]), axis=-1)
+    return inside.sum(axis=-1)
 
 
-def truncation_ratio(corners_world: np.ndarray, intrinsic: np.ndarray,
-                     T_world_camera: np.ndarray, width: int,
-                     height: int, samples: int = 6) -> float:
-    """Fraction of box volume-sample points projecting OUTSIDE the image
-    (0 = fully visible, 1 = fully truncated)."""
-    # dense grid of sample points inside the box (in world frame)
-    lo = corners_world.min(0)
-    hi = corners_world.max(0)
-    lin = [np.linspace(lo[i], hi[i], samples) for i in range(3)]
-    g = np.stack(np.meshgrid(*lin, indexing="ij"), -1).reshape(-1, 3)
-    R = T_world_camera[:3, :3]
-    t = T_world_camera[:3, 3]
-    cam = (g - t) @ R
-    z = cam[:, 2]
-    u = cam[:, 0] / np.maximum(z, 1e-6) * intrinsic[0, 0] + intrinsic[0, 2]
-    v = cam[:, 1] / np.maximum(z, 1e-6) * intrinsic[1, 1] + intrinsic[1, 2]
-    inside = (z > 1e-3) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
-    return 1.0 - inside.mean()
+def fov_truncation_ratio(corners_camera: np.ndarray,
+                         image_shape: Tuple[int, int],
+                         intrinsic_color: np.ndarray) -> np.ndarray:
+    """Visible-area ratio per box from camera-frame corners (K, 8, 3).
+
+    Projects the 8 corners with the 4x4 color intrinsic, dividing by
+    max(z, 1) — the reference's one-METER depth clamp, kept verbatim —
+    takes the 2D AABB, and returns clipped-to-image area over
+    max(raw area, 1). Higher = more visible
+    (ref: get_box3d_inside_fov, processing_utils.py:206-234)."""
+    h, w = image_shape[:2]
+    K = corners_camera.shape[0]
+    hom = np.concatenate([corners_camera, np.ones((K, 8, 1))], axis=-1)
+    proj = hom @ intrinsic_color.T
+    z = np.maximum(proj[..., 2], 1.0)
+    u = proj[..., 0] / z
+    v = proj[..., 1] / z
+    xmin, xmax = u.min(-1), u.max(-1)
+    ymin, ymax = v.min(-1), v.max(-1)
+    area = (xmax - xmin) * (ymax - ymin)
+    cx0, cx1 = np.clip(xmin, 0, w - 1), np.clip(xmax, 0, w - 1)
+    cy0, cy1 = np.clip(ymin, 0, h - 1), np.clip(ymax, 0, h - 1)
+    inside = (cx1 - cx0) * (cy1 - cy0)
+    return inside / np.maximum(area, 1.0)
 
 
-def difficulty_level(num_points_inside: int, trunc: float) -> int:
-    """0 easy … 3 drop (ref filters difficulty ≥ 3,
-    generate_scannet_anno_snippet.py:320-329)."""
-    if num_points_inside >= 2000 and trunc < 0.3:
+def get_level(num_points_inside: float, trunc_ratio: float) -> int:
+    """Difficulty 0 (easy) … 3 (drop). trunc_ratio is the VISIBLE fraction
+    (higher is better). Thresholds verbatim from the reference
+    (ref: get_level, processing_utils.py:304-336)."""
+    if num_points_inside > 1000 and trunc_ratio > 0.85:
         return 0
-    if num_points_inside >= 500 and trunc < 0.6:
+    if num_points_inside > 500 and trunc_ratio > 0.70:
         return 1
-    if num_points_inside >= 100 and trunc < 0.9:
+    if num_points_inside > 100 and trunc_ratio > 0.50:
         return 2
     return 3
 
 
 # ---------------------------------------------------------------------------
-# view selection (ref: processing_utils.py:352-505)
+# view selection (ref: processing_utils.py:352-505). All four strategies
+# share the motion test: the angle between the two frames' VIEWING
+# DIRECTIONS — arccos of the z component of R_cur^T R_last z — or the
+# translation distance, strictly greater than the thresholds. NaN angles
+# (numerical arccos overflow) fail the test, as in the reference.
 # ---------------------------------------------------------------------------
 
-def _pose_delta(Ta: np.ndarray, Tb: np.ndarray):
-    R = Ta[:3, :3].T @ Tb[:3, :3]
-    cos = np.clip((np.trace(R) - 1) / 2, -1, 1)
-    dr = np.degrees(np.arccos(cos))
-    dt = np.linalg.norm(Ta[:3, 3] - Tb[:3, 3])
-    return dr, dt
+def _moved(cur: np.ndarray, last: np.ndarray, min_angle: float,
+           min_distance: float) -> bool:
+    z = np.array([0.0, 0.0, 1.0])
+    cos = (cur[:3, :3].T @ last[:3, :3] @ z)[2]
+    with np.errstate(invalid="ignore"):
+        angle = np.arccos(cos)
+    dis = np.linalg.norm(cur[:3, 3] - last[:3, 3])
+    return bool(angle > np.radians(min_angle)) or bool(dis > min_distance)
 
 
-def select_keyframes(poses: List[np.ndarray], min_angle: float = 15.0,
+def select_keyframes(pose_dict: Dict[int, np.ndarray],
+                     min_angle: float = 15.0,
                      min_distance: float = 0.1) -> List[int]:
-    """Keep frames that moved ≥ min_angle deg or ≥ min_distance m since the
-    last kept frame."""
-    kept = [0]
-    for i in range(1, len(poses)):
-        if not np.all(np.isfinite(poses[i])):
-            continue
-        dr, dt = _pose_delta(poses[kept[-1]], poses[i])
-        if dr >= min_angle or dt >= min_distance:
-            kept.append(i)
+    """First frame unconditional, then keep every frame that moved vs the
+    last KEPT frame (ref: the shared selection loop of view_selection_w1 /
+    _overlap / _allframes, processing_utils.py:386-419)."""
+    kept: List[int] = []
+    last = None
+    for fid, pose in pose_dict.items():
+        if last is None or _moved(pose, last, min_angle, min_distance):
+            kept.append(fid)
+            last = pose
     return kept
 
 
-def view_selection(keyframes: List[int], window: int = 3,
-                   variant: str = "overlap") -> List[List[int]]:
-    """Group keyframes into snippets.
+def view_selection_val(pose_dict: Dict[int, np.ndarray], window: int = 3,
+                       min_angle: float = 15.0,
+                       min_distance: float = 0.1) -> List[List[int]]:
+    """Val split: windows accumulate DURING selection — after a window
+    completes the state resets, so the next frame starts the next window
+    unconditionally; an unfinished tail window is dropped
+    (ref: view_selection, processing_utils.py:352-384)."""
+    out: List[List[int]] = []
+    cur: List[int] = []
+    last = None
+    for fid, pose in pose_dict.items():
+        if not cur:
+            cur.append(fid)
+            last = pose
+        elif _moved(pose, last, min_angle, min_distance):
+            cur.append(fid)
+            last = pose
+            if len(cur) == window:
+                out.append(cur)
+                cur = []
+                last = None
+    return out
 
-    variants (ref: the four view_selection* strategies):
-      'overlap'   — train: windows shifted by 1 (dense overlap)
-      'nonoverlap'— val: disjoint windows
-      'w1'        — window of 1 (single frame)
-      'allframes' — one snippet containing everything
-    """
-    n = len(keyframes)
+
+def view_selection_w1(pose_dict: Dict[int, np.ndarray],
+                      min_angle: float = 15.0,
+                      min_distance: float = 0.1) -> List[List[int]]:
+    """Single-frame snippets of every keyframe
+    (ref: view_selection_w1, processing_utils.py:386-418)."""
+    return [[k] for k in select_keyframes(pose_dict, min_angle,
+                                          min_distance)]
+
+
+def view_selection_overlap(pose_dict: Dict[int, np.ndarray],
+                           window: int = 3, min_angle: float = 15.0,
+                           min_distance: float = 0.1) -> List[List[int]]:
+    """Train split: keyframe windows duplicated at RAW-frame-id shifts
+    +0..+9. A shifted window is kept only when its last id stays within
+    the scene and every shifted id has a pose; duplicates are removed
+    preserving first-occurrence order
+    (ref: view_selection_overlap, processing_utils.py:421-466)."""
+    ids = select_keyframes(pose_dict, min_angle, min_distance)
+    if not pose_dict:
+        return []
+    last_id = list(pose_dict.keys())[-1]
+    out: List[List[int]] = []
+    for i in range(10):
+        for j in range(len(ids)):
+            if j + window <= len(ids):
+                win = ids[j:j + window]
+                if win[-1] + i <= last_id:
+                    shifted = [f + i for f in win if f + i in pose_dict]
+                    if len(shifted) == window and shifted not in out:
+                        out.append(shifted)
+    return out
+
+
+def view_selection_allframes(pose_dict: Dict[int, np.ndarray],
+                             min_angle: float = 15.0,
+                             min_distance: float = 0.1) -> List[List[int]]:
+    """One snippet holding every keyframe
+    (ref: view_selection_allframes, processing_utils.py:469-505)."""
+    return [select_keyframes(pose_dict, min_angle, min_distance)]
+
+
+def view_selection(pose_dict: Dict[int, np.ndarray], window: int = 3,
+                   variant: str = "overlap", min_angle: float = 15.0,
+                   min_distance: float = 0.1) -> List[List[int]]:
+    """Dispatch over the four reference strategies. 'overlap' = train,
+    'nonoverlap' = val, plus 'w1' and 'allframes'
+    (ref: save_snippet_pkl dispatch,
+    generate_scannet_anno_snippet.py:146-158)."""
     if variant == "overlap":
-        return [keyframes[i:i + window] for i in range(0, n - window + 1)]
+        return view_selection_overlap(pose_dict, window, min_angle,
+                                      min_distance)
     if variant == "nonoverlap":
-        return [keyframes[i:i + window] for i in range(0, n - window + 1,
-                                                       window)]
+        if window == 1:
+            return view_selection_w1(pose_dict, min_angle, min_distance)
+        return view_selection_val(pose_dict, window, min_angle, min_distance)
     if variant == "w1":
-        return [[k] for k in keyframes]
+        return view_selection_w1(pose_dict, min_angle, min_distance)
     if variant == "allframes":
-        return [keyframes]
+        return view_selection_allframes(pose_dict, min_angle, min_distance)
     raise ValueError(variant)
 
 
