@@ -225,7 +225,8 @@ class DecoderLayer(nn.Module):
             sa = sa.reshape(B, GQ, -1)
         else:
             sa = sa_mod(q_sa, q_sa, tgt, sa_keep, rate)
-        tgt = nn.LayerNorm(name="norm1")(tgt + drop(sa, _SALT_DROP1))
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(
+            tgt + drop(sa, _SALT_DROP1))
 
         # cross-attention with precomputed memory K/V (projected + laid out
         # ONCE in PARQDecoder). bf16 runs the fused Pallas kernel
@@ -285,12 +286,14 @@ class DecoderLayer(nn.Module):
                 rate, ca_keep)
         ca = nn.DenseGeneral(self.dim, axis=(-2, -1), dtype=self.dtype,
                              name="cross_attn_out")(attn.transpose(0, 2, 1, 3))
-        tgt = nn.LayerNorm(name="norm2")(tgt + drop(ca, _SALT_DROP2))
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(
+            tgt + drop(ca, _SALT_DROP2))
 
         ff = nn.Dense(self.ffn_dim, dtype=self.dtype, name="linear1")(tgt)
         ff = drop(nn.relu(ff), _SALT_FFN)
         ff = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(ff)
-        tgt = nn.LayerNorm(name="norm3")(tgt + drop(ff, _SALT_DROP3))
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm3")(
+            tgt + drop(ff, _SALT_DROP3))
         if aux_out:
             return tgt, aux
         return tgt
@@ -323,8 +326,8 @@ class DecoderIteration(nn.Module):
         B, T, H, W, C = memory_hw.shape
 
         # query positional embedding (ref: :317-318)
-        pos_feat = MLP2(self.dim, self.dim, name="position_encoder")(
-            pos2posemb3d(ref_points))
+        pos_feat = MLP2(self.dim, self.dim, dtype=self.dtype,
+                        name="position_encoder")(pos2posemb3d(ref_points))
 
         # pixel-aligned sampling (ref: :321, project() :129-161).
         # Default TPU path: XLA-gather forward + Pallas matmul backward
@@ -371,11 +374,13 @@ class DecoderIteration(nn.Module):
             out, attn_aux = layer_out
         else:
             out, attn_aux = layer_out, None
-        out = out.astype(jnp.float32)
 
         # MLP heads (shared across iterations via params broadcast;
-        # ref: parq_decoder.py:84-132, transformer_parq.py:211-281)
-        center_offset = HeadMLP((self.dim, self.dim), 3,
+        # ref: parq_decoder.py:84-132, transformer_parq.py:211-281).
+        # Hidden matmuls run in the compute dtype (bf16 on the fast path —
+        # f32 ran them at a fraction of MXU rate); norm stats and the small
+        # output projections stay f32, so every head OUTPUT is f32.
+        center_offset = HeadMLP((self.dim, self.dim), 3, dtype=self.dtype,
                                 name="center_head")(out, n_groups=n_groups)
 
         coord_pos = query_metric  # matcher uses input ref points (ref: :278)
@@ -398,7 +403,7 @@ class DecoderIteration(nn.Module):
         cls_logits = HeadMLP((), self.num_semcls + 1,
                              name="sem_cls_head")(out)
         size_scale = HeadMLP((), 3, name="size_head")(out)
-        ortho6d = HeadMLP((self.dim, self.dim), 6,
+        ortho6d = HeadMLP((self.dim, self.dim), 6, dtype=self.dtype,
                           name="rotation_head")(out, n_groups=n_groups)
 
         # cls probs under stop_gradient (ref computes them no_grad, :259-265)
@@ -496,6 +501,11 @@ class PARQDecoder(nn.Module):
         N = Tm * Hm * Wm
         memory_tokens = memory_hw.reshape(Bm, N, Cm).astype(self.dtype)
         head_dim = self.dim // self.heads
+        # NOTE: fusing K+V into one (C, 2·H·D) matmul was evaluated and
+        # rejected: the flash VJP would have to hand back a fused dKV
+        # cotangent, and the concat of the kernel's separate dk/dv outputs
+        # (~1.2ms of HBM traffic at release shapes) cancels the fwd/dW
+        # savings.
         k_mem = FlatHeadDense(self.heads, head_dim, dtype=self.dtype,
                               name="cross_attn_key")(memory_tokens)
         v_mem = FlatHeadDense(self.heads, head_dim, dtype=self.dtype,

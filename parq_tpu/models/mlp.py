@@ -27,6 +27,10 @@ class GroupNorm1(nn.Module):
         computed PER GROUP so the folded call matches per-iteration calls."""
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        in_dtype = x.dtype
+        # statistics always in f32 (exact on the f32 parity path; on the
+        # bf16 fast path only the surrounding matmuls drop precision)
+        x = x.astype(jnp.float32)
         if n_groups > 1:
             shp = x.shape
             x = x.reshape((shp[0], n_groups, shp[1] // n_groups) + shp[2:])
@@ -37,7 +41,7 @@ class GroupNorm1(nn.Module):
         y = y * scale + bias
         if n_groups > 1:
             y = y.reshape(shp)
-        return y
+        return y.astype(in_dtype)
 
 
 class HeadMLP(nn.Module):
@@ -51,17 +55,24 @@ class HeadMLP(nn.Module):
     hidden_dims: Sequence[int]
     output_dim: int
     dropout: float = 0.0
+    # compute dtype of the big hidden matmuls (the [D, D] hiddens of the
+    # center/rotation heads are 2×68 GFLOP/step at release shapes — f32
+    # runs them at a fraction of MXU bf16 rate). Norm statistics stay f32
+    # (GroupNorm1) and the small output projection always computes/returns
+    # f32 — heads feed sigmoid/loss math.
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True,
                  n_groups: int = 1) -> jnp.ndarray:
         for h in self.hidden_dims:
-            x = nn.Dense(h, use_bias=False)(x)
+            x = nn.Dense(h, use_bias=False, dtype=self.dtype)(x)
             x = GroupNorm1(h)(x, n_groups=n_groups)
             x = nn.relu(x)
             if self.dropout > 0.0:
                 x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        return nn.Dense(self.output_dim, use_bias=True)(x)
+        return nn.Dense(self.output_dim, use_bias=True,
+                        dtype=jnp.float32)(x)
 
 
 class MLP2(nn.Module):

@@ -51,7 +51,13 @@ class FrozenBatchNorm(nn.Module):
         var = self.variable("frozen", "var",
                             lambda: jnp.ones(shape, jnp.float32)).value
         inv = scale * jax.lax.rsqrt(var + self.eps)
-        return x * inv + (bias - mean * inv)
+        shift = bias - mean * inv
+        # apply the per-channel affine in the ACTIVATION dtype: with f32
+        # stats parameters, x(bf16) * inv(f32) would promote every BN
+        # output to f32 — the whole ResNet then ping-pongs bf16↔f32
+        # between convs (the r3 train profile's conv stack ran at ~8% MXU
+        # because of it). f32 inputs are untouched (astype no-op).
+        return x * inv.astype(x.dtype) + shift.astype(x.dtype)
 
 
 def _conv(features, kernel, stride=1, name=None, dtype=None):
@@ -124,10 +130,11 @@ class ResNet(nn.Module):
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = FrozenBatchNorm(64, name="bn1")(x)
         x = nn.relu(x)
-        # torch maxpool(3, stride 2, pad 1)
-        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                    constant_values=-jnp.inf)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        # torch maxpool(3, stride 2, pad 1): window padding contributes the
+        # reduce init (-inf) — identical to an explicit -inf pad, without
+        # materializing the padded tensor (0.8ms/step in the r3 profile)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))
 
         feats = []
         width = 64

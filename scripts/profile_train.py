@@ -20,7 +20,7 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--batched-grad", default="on", choices=["on", "off"])
     ap.add_argument("--what", default="grad-full",
-                    choices=["fwd", "grad-full", "grad-model"])
+                    choices=["fwd", "grad-full", "grad-model", "step"])
     ap.add_argument("--out", default="/tmp/parq_trace")
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
@@ -58,18 +58,31 @@ def main():
     def loss_full(params, k):
         return set_loss(fwd(params, k), targets, k)["total_loss"]
 
-    fns = {"fwd": out_sum,
-           "grad-full": jax.grad(loss_full),
-           "grad-model": jax.grad(out_sum)}
-    f = jax.jit(fns[args.what])
     key = jax.random.PRNGKey(1)
-    out = f(state.params, key)
-    jax.block_until_ready(out)
+    if args.what == "step":
+        # the FULL optimization step (fwd+loss+bwd+clip+AdamW+metrics) —
+        # what bench.py --train repeats; exposes the optimizer/metric tail
+        # that the grad-only variants exclude
+        from parq_tpu.train import LossConfig, make_jitted_train_step
+        step = make_jitted_train_step(LossConfig(), donate=False)
+        st, m = step(state, batch, key)
+        jax.block_until_ready(m["total_loss"])
+        with jax.profiler.trace(args.out):
+            for i in range(3):
+                st, m = step(st, batch, jax.random.fold_in(key, i))
+                jax.block_until_ready(m["total_loss"])
+    else:
+        fns = {"fwd": out_sum,
+               "grad-full": jax.grad(loss_full),
+               "grad-model": jax.grad(out_sum)}
+        f = jax.jit(fns[args.what])
+        out = f(state.params, key)
+        jax.block_until_ready(out)
 
-    with jax.profiler.trace(args.out):
-        for i in range(3):
-            out = f(state.params, jax.random.fold_in(key, i))
-            jax.block_until_ready(out)
+        with jax.profiler.trace(args.out):
+            for i in range(3):
+                out = f(state.params, jax.random.fold_in(key, i))
+                jax.block_until_ready(out)
 
     paths = sorted(glob.glob(os.path.join(
         args.out, "plugins/profile/*/*.trace.json.gz")))
