@@ -310,8 +310,21 @@ def pad_kv_for_flash(k_t: jnp.ndarray, v: jnp.ndarray,
     return k_t, v
 
 
-def _kv_specs(kv_nc: bool, block_k: int, D: int):
-    """Block specs for (K-or-Kᵀ, V) under the two supported layouts."""
+def _kv_specs(kv_nc: bool, block_k: int, D: int, kv_fused_heads: int = 0):
+    """Block specs for (K-or-Kᵀ, V) under the supported layouts.
+
+    `kv_fused_heads=H`: K and V live in ONE (B, N, 2·H·D) buffer (the fused
+    projection's natural output) passed as BOTH operands — K at lane block
+    h, V at lane block H+h. The kernel body is oblivious: each ref still
+    sees a (1, BK, D) block."""
+    if kv_fused_heads:
+        H = kv_fused_heads
+        return [
+            pl.BlockSpec((1, block_k, D), lambda b, h, n, t: (b, n, h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda b, h, n, t: (b, n, H + h),
+                         memory_space=pltpu.VMEM),
+        ]
     if kv_nc:   # (B, N, H·D): block (1, BK, D), head h = lane offset h·D
         spec = pl.BlockSpec((1, block_k, D), lambda b, h, n, t: (b, n, h),
                             memory_space=pltpu.VMEM)
@@ -325,7 +338,7 @@ def _kv_specs(kv_nc: bool, block_k: int, D: int):
 
 
 def _fwd_call(q, kt, v, seed, block_k, n_valid, rate, q_tile, interpret,
-              want_lse):
+              want_lse, kv_fused: bool = False):
     B, H, Q, D = q.shape
     kv_nc = kt.ndim == 3
     N = kt.shape[1] if kv_nc else kt.shape[-1]
@@ -345,7 +358,7 @@ def _fwd_call(q, kt, v, seed, block_k, n_valid, rate, q_tile, interpret,
             pl.BlockSpec(memory_space=pltpu.SMEM),     # seeds (G,)
             pl.BlockSpec((1, 1, QT, D), lambda b, h, n, t: (b, h, t, 0),
                          memory_space=pltpu.VMEM),
-        ] + _kv_specs(kv_nc, block_k, D),
+        ] + _kv_specs(kv_nc, block_k, D, H if kv_fused else 0),
         out_specs=[
             pl.BlockSpec((1, 1, Q, D), lambda b, h, n, t: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -544,6 +557,31 @@ def flash_cross_attention_precomputed(q, k, v, o, lse, *,
                                    interpret)
     return _flash_attn_pre(q, k, v, seed, o, lse, block_k, n_valid, rate,
                            q_tile, interpret)
+
+
+def flash_cross_attention_kv_fused(q: jnp.ndarray, kv: jnp.ndarray, *,
+                                   block_k: int = 1920,
+                                   n_valid: int = None,
+                                   interpret: bool = None) -> jnp.ndarray:
+    """Forward-only flash attention over a FUSED (B, N, 2·H·D) K/V buffer —
+    the natural output of projecting K and V in one matmul. K lives in lane
+    blocks [0, H·D), V in [H·D, 2·H·D); the kernel reads each via its own
+    BlockSpec, so no slice of the ~470MB buffer is ever materialized.
+
+    Inference path only (deterministic, NOT differentiable — a VJP would
+    have to hand back a fused dKV cotangent, whose assembly costs more than
+    the fused forward saves; training keeps separate K/V projections)."""
+    B, H, Q, D = q.shape
+    assert kv.ndim == 3 and kv.shape[-1] == 2 * H * D, (q.shape, kv.shape)
+    N = kv.shape[1]
+    n_valid = int(n_valid) if n_valid is not None else N
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    block_k = min(block_k, max(8, -(-N // 8) * 8))
+    seed = jnp.zeros((1,), jnp.int32)
+    o, _ = _fwd_call(q, kv, kv, seed, block_k, n_valid, 0.0, None,
+                     bool(interpret), want_lse=False, kv_fused=True)
+    return o
 
 
 def flash_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

@@ -102,16 +102,24 @@ class FlatHeadDense(nn.Module):
     heads: int
     head_dim: int
     dtype: jnp.dtype = jnp.float32
+    in_features: int = 0   # required for the params-only call (x is None)
 
     @nn.compact
-    def __call__(self, x):
-        C = x.shape[-1]
+    def __call__(self, x=None):
+        """x=None: declare + return (kernel, bias) without computing — the
+        eval path fuses the K and V projections of the SAME activation into
+        one matmul (and the flash kernel reads the fused buffer directly)
+        while every param stays under this module's scope, so the
+        checkpoint layout and TP sharding rules are unchanged."""
+        C = self.in_features if x is None else x.shape[-1]
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(in_axis=0, out_axis=(1, 2)),
             (C, self.heads, self.head_dim))
         bias = self.param("bias", nn.initializers.zeros,
                           (self.heads, self.head_dim))
+        if x is None:
+            return kernel, bias
         out = self.heads * self.head_dim
         return (x @ kernel.reshape(C, out).astype(self.dtype)
                 + bias.reshape(out).astype(self.dtype))
@@ -186,6 +194,9 @@ class DecoderLayer(nn.Module):
     # PARQDecoder; no K/V relayout happens anywhere.
     use_flash: bool = False
     kv_valid: Optional[int] = None
+    # k_mem IS the fused (B, N, 2·H·D) K/V buffer (v_mem ignored);
+    # inference-only (PARQDecoder gates on deterministic)
+    kv_fused: bool = False
 
     @nn.compact
     def __call__(self, tgt: jnp.ndarray, k_mem: jnp.ndarray,
@@ -241,6 +252,7 @@ class DecoderLayer(nn.Module):
         if self.use_flash:
             from ..kernels.cross_attention_pallas import (
                 flash_cross_attention, flash_cross_attention_fwd_lse,
+                flash_cross_attention_kv_fused,
                 flash_cross_attention_precomputed)
             seeds = None
             if not det:
@@ -261,7 +273,12 @@ class DecoderLayer(nn.Module):
                 block_k=1280 if G > 1 else (4800 if det else 1440),
                 q_tile=Q0 if G > 1 else None,
                 dropout_rate=0.0 if det else rate, dropout_seed=seeds)
-            if precomputed is not None:
+            if self.kv_fused:
+                assert det and precomputed is None and not aux_out
+                attn = flash_cross_attention_kv_fused(
+                    cq_h, k_mem.astype(cq.dtype),
+                    block_k=kwargs["block_k"], n_valid=self.kv_valid)
+            elif precomputed is not None:
                 attn = flash_cross_attention_precomputed(
                     cq_h, k_mem.astype(cq.dtype), v_mem.astype(cq.dtype),
                     precomputed["attn_o"].astype(cq.dtype),
@@ -315,6 +332,7 @@ class DecoderIteration(nn.Module):
     use_pallas: bool = False
     use_flash: bool = False   # resolved by PARQDecoder (gate + layout prep)
     kv_valid: Optional[int] = None
+    kv_fused: bool = False    # eval-only fused K/V buffer (see PARQDecoder)
     sampler_force: bool = False  # tests: force the fast sampler off-TPU
     dtype: jnp.dtype = jnp.float32
 
@@ -363,6 +381,7 @@ class DecoderIteration(nn.Module):
                                  self.dropout_rate, self.deterministic,
                                  dtype=self.dtype, use_flash=self.use_flash,
                                  kv_valid=self.kv_valid,
+                                 kv_fused=self.kv_fused,
                                  name="layer")(pix.astype(self.dtype),
                                                k_mem, v_mem,
                                                pos_feat.astype(self.dtype),
@@ -501,15 +520,6 @@ class PARQDecoder(nn.Module):
         N = Tm * Hm * Wm
         memory_tokens = memory_hw.reshape(Bm, N, Cm).astype(self.dtype)
         head_dim = self.dim // self.heads
-        # NOTE: fusing K+V into one (C, 2·H·D) matmul was evaluated and
-        # rejected: the flash VJP would have to hand back a fused dKV
-        # cotangent, and the concat of the kernel's separate dk/dv outputs
-        # (~1.2ms of HBM traffic at release shapes) cancels the fwd/dW
-        # savings.
-        k_mem = FlatHeadDense(self.heads, head_dim, dtype=self.dtype,
-                              name="cross_attn_key")(memory_tokens)
-        v_mem = FlatHeadDense(self.heads, head_dim, dtype=self.dtype,
-                              name="cross_attn_value")(memory_tokens)
 
         # static gate for the fused cross-attention kernel (bf16 TPU path,
         # inference AND training — the kernel has a flash-style custom VJP
@@ -523,6 +533,29 @@ class PARQDecoder(nn.Module):
         # fused matmul sampler: same bf16-TPU gate (f32 parity runs keep
         # the exact XLA gather path)
         pallas_sampler = self.use_pallas and on_fast_path
+        # INFERENCE: project K and V in ONE (C, 2·H·D) matmul — the token
+        # activation is read once and the flash kernel consumes the fused
+        # buffer via lane-offset blocks (no slice ever materializes).
+        # Training keeps separate projections: the flash VJP would have to
+        # hand back a fused dKV cotangent, whose assembly (~1.2ms of HBM
+        # traffic at release shapes) cancels the fwd/dW savings.
+        kv_fused = flash and deterministic
+        k_proj = FlatHeadDense(self.heads, head_dim, dtype=self.dtype,
+                               in_features=Cm, name="cross_attn_key")
+        v_proj = FlatHeadDense(self.heads, head_dim, dtype=self.dtype,
+                               in_features=Cm, name="cross_attn_value")
+        if kv_fused:
+            wk, bk = k_proj()
+            wv, bv = v_proj()
+            hd_out = self.heads * head_dim
+            w_kv = jnp.concatenate([wk.reshape(Cm, hd_out),
+                                    wv.reshape(Cm, hd_out)], axis=1)
+            b_kv = jnp.concatenate([bk.reshape(hd_out), bv.reshape(hd_out)])
+            k_mem = v_mem = (memory_tokens @ w_kv.astype(self.dtype)
+                             + b_kv.astype(self.dtype))
+        else:
+            k_mem = k_proj(memory_tokens)
+            v_mem = v_proj(memory_tokens)
         kv_valid = None
         if flash:
             kv_valid = N                          # already (B, N, H·D)
@@ -538,6 +571,7 @@ class PARQDecoder(nn.Module):
             scale=tuple(self.scale), feat_size=tuple(self.feat_size),
             mean_size=mean_size, deterministic=deterministic,
             use_pallas=pallas_sampler, use_flash=flash, kv_valid=kv_valid,
+            kv_fused=kv_fused,
             sampler_force=self.force_kernels, dtype=self.dtype)
 
         inputs = (memory_hw, camera.data, T_camera_local.data, k_mem, v_mem)

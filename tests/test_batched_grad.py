@@ -164,3 +164,29 @@ def test_batched_grad_with_forced_kernels(rng):
         nd = float(jnp.linalg.norm(a - b))
         assert nd <= 2e-4 * max(na, 1.0) + 1e-3, \
             f"{jax.tree_util.keystr(path)}: |Δ|={nd} vs |g|={na}"
+
+
+def test_eval_kv_fused_matches_separate_projections(rng):
+    """Deterministic forced-kernel path uses the FUSED K/V projection (one
+    (C, 2·H·D) matmul, flash kernel reads lane-offset blocks): outputs ==
+    the no-flash decoder with identical params."""
+    scene = _scene(rng)
+    C2 = 256  # head_dim must be a lane multiple for the flash gate
+
+    def dec(use_flash):
+        return PARQDecoder(dim=C2, heads=2, ffn_dim=16, num_layers=L,
+                           dropout_rate=0.0, num_queries=Q, num_semcls=3,
+                           feat_size=(W, H), use_flash=use_flash,
+                           force_kernels=use_flash)
+
+    mem = jnp.asarray(np.random.RandomState(2).randn(
+        B, T, H, W, C2).astype(np.float32))
+    scene = (mem,) + scene[1:]
+    m_ref, m_fused = dec(False), dec(True)
+    params = m_ref.init(jax.random.PRNGKey(0), *scene, deterministic=True)
+    o1 = m_ref.apply(params, *scene, deterministic=True)
+    o2 = m_fused.apply(params, *scene, deterministic=True)
+    for k in o1:
+        np.testing.assert_allclose(np.asarray(o1[k], np.float32),
+                                   np.asarray(o2[k], np.float32),
+                                   atol=2e-4, err_msg=k)

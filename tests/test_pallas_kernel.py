@@ -332,3 +332,22 @@ def test_flash_q_tile_split_matches_single_tile(rng):
     b = flash_cross_attention(q, k, v, block_k=128, q_tile=16,
                               interpret=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_flash_kv_fused_matches_separate(rng):
+    """Eval-only fused (B, N, 2·H·D) K/V buffer (one projection matmul,
+    kernel reads K/V via lane-offset BlockSpecs) == the separate-K/V call
+    bit-for-bit, including a masked partial last block."""
+    from parq_tpu.kernels.cross_attention_pallas import (
+        flash_cross_attention_kv_fused)
+    B, H, Q, D, N = 2, 4, 16, 128, 300   # N % block_k != 0
+    q = jnp.asarray(rng.randn(B, H, Q, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, N, H * D).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(B, N, H * D).astype(np.float32))
+    kv = jnp.concatenate([k, v], axis=-1)
+
+    want = flash_cross_attention(q, k, v, n_valid=N, block_k=128,
+                                 interpret=True)
+    got = flash_cross_attention_kv_fused(q, kv, n_valid=N, block_k=128,
+                                         interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
