@@ -41,7 +41,7 @@ import jax.numpy as jnp
 
 from ..geometry import Camera, Pose, inverse_sigmoid
 from ..ops.posemb import pos2posemb3d
-from .mlp import MLP2, HeadMLP
+from .mlp import MLP2, HeadMLP, fused_detection_heads
 
 # dropout-site salts (fold_in(key_l, salt)); shared by the sequential and
 # folded paths so their draws coincide
@@ -399,8 +399,29 @@ class DecoderIteration(nn.Module):
         # Hidden matmuls run in the compute dtype (bf16 on the fast path —
         # f32 ran them at a fraction of MXU rate); norm stats and the small
         # output projections stay f32, so every head OUTPUT is f32.
-        center_offset = HeadMLP((self.dim, self.dim), 3, dtype=self.dtype,
-                                name="center_head")(out, n_groups=n_groups)
+        if refs_only:
+            # trajectory-only pass (phase 1 of the batched-gradient path):
+            # classification/size/rotation heads don't feed the carry, so
+            # only the center head runs.
+            center_offset = HeadMLP((self.dim, self.dim), 3,
+                                    dtype=self.dtype, name="center_head")(
+                                        out, n_groups=n_groups)
+        else:
+            # all four heads fused into three contractions over the shared
+            # tokens (bit-identical to separate applications — see
+            # fused_detection_heads); per-head param scopes are unchanged,
+            # so the checkpoint layout and TP sharding rules still hold.
+            center_offset, cls_logits, size_scale, ortho6d = \
+                fused_detection_heads(
+                    out,
+                    HeadMLP((self.dim, self.dim), 3, dtype=self.dtype,
+                            in_features=self.dim, name="center_head")(),
+                    HeadMLP((self.dim, self.dim), 6, dtype=self.dtype,
+                            in_features=self.dim, name="rotation_head")(),
+                    HeadMLP((), self.num_semcls + 1,
+                            in_features=self.dim, name="sem_cls_head")(),
+                    HeadMLP((), 3, in_features=self.dim, name="size_head")(),
+                    dtype=self.dtype, n_groups=n_groups)
 
         coord_pos = query_metric  # matcher uses input ref points (ref: :278)
         center_norm = jax.nn.sigmoid(center_offset + inverse_sigmoid(ref_points))
@@ -409,8 +430,6 @@ class DecoderIteration(nn.Module):
             normalize_points(center_unnorm, self.scale))  # ref: :331-332
 
         if refs_only:
-            # trajectory-only pass (phase 1 of the batched-gradient path):
-            # classification/size/rotation heads don't feed the carry.
             # Aux carries the expensive forward products (sampled features,
             # attention output + logsumexp) so the folded call can skip
             # recomputing them.
@@ -418,12 +437,6 @@ class DecoderIteration(nn.Module):
             if attn_aux is not None:
                 aux.update(attn_aux)
             return new_ref, aux
-
-        cls_logits = HeadMLP((), self.num_semcls + 1,
-                             name="sem_cls_head")(out)
-        size_scale = HeadMLP((), 3, name="size_head")(out)
-        ortho6d = HeadMLP((self.dim, self.dim), 6, dtype=self.dtype,
-                          name="rotation_head")(out, n_groups=n_groups)
 
         # cls probs under stop_gradient (ref computes them no_grad, :259-265)
         sem_cls_prob = jax.lax.stop_gradient(

@@ -21,12 +21,17 @@ class GroupNorm1(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, n_groups: int = 1) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray = None, n_groups: int = 1):
         """`n_groups > 1`: the token axis (axis 1) folds n_groups recurrence
         iterations (decoder batched-grad path); the (N, C) statistics are
-        computed PER GROUP so the folded call matches per-iteration calls."""
+        computed PER GROUP so the folded call matches per-iteration calls.
+
+        `x=None`: declare + return (scale, bias) without computing (the
+        fused-head path applies the normalization itself)."""
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if x is None:
+            return scale, bias
         in_dtype = x.dtype
         # statistics always in f32 (exact on the f32 parity path; on the
         # bf16 fast path only the surrounding matmuls drop precision)
@@ -61,10 +66,35 @@ class HeadMLP(nn.Module):
     # (GroupNorm1) and the small output projection always computes/returns
     # f32 — heads feed sigmoid/loss math.
     dtype: jnp.dtype = jnp.float32
+    in_features: int = 0  # required for the params-only call (x is None)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True,
-                 n_groups: int = 1) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray = None, *, deterministic: bool = True,
+                 n_groups: int = 1):
+        """`x=None`: declare + return the layer params WITHOUT computing —
+        `(hidden, final)` where `hidden` is a list of
+        `(kernel, gn_scale, gn_bias)` per hidden block and `final` is
+        `(kernel, bias)`. The fused-head path (`fused_detection_heads`)
+        consumes these to run several heads in shared contractions while
+        every param keeps its per-head scope (checkpoint layout unchanged).
+        Explicit submodule names replicate flax's auto-numbering, so both
+        call modes address the identical parameter tree."""
+        if x is None:
+            assert self.in_features > 0, "params-only call needs in_features"
+            c, hidden = self.in_features, []
+            for i, h in enumerate(self.hidden_dims):
+                d = nn.Dense(h, use_bias=False, dtype=self.dtype,
+                             name=f"Dense_{i}")
+                d(jnp.zeros((1, c), jnp.float32))   # declare (output DCE'd)
+                gs, gb = GroupNorm1(h, name=f"GroupNorm1_{i}")(None)
+                hidden.append((d.variables["params"]["kernel"], gs, gb))
+                c = h
+            dout = nn.Dense(self.output_dim, use_bias=True,
+                            dtype=jnp.float32,
+                            name=f"Dense_{len(self.hidden_dims)}")
+            dout(jnp.zeros((1, c), jnp.float32))
+            p = dout.variables["params"]
+            return hidden, (p["kernel"], p["bias"])
         for h in self.hidden_dims:
             x = nn.Dense(h, use_bias=False, dtype=self.dtype)(x)
             x = GroupNorm1(h)(x, n_groups=n_groups)
@@ -73,6 +103,83 @@ class HeadMLP(nn.Module):
                 x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         return nn.Dense(self.output_dim, use_bias=True,
                         dtype=jnp.float32)(x)
+
+
+def _gn_pair(h: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+             n_groups: int, eps: float = 1e-5) -> jnp.ndarray:
+    """GroupNorm1 over (B, N, K, D) with independent statistics per
+    (sample, group, head-slot k) — the stacked form of K separate
+    GroupNorm1(D) calls (bit-identical: stats reduce over the same
+    (N/groups, D) elements in f32). scale/bias: (K, D)."""
+    in_dtype = h.dtype
+    x = h.astype(jnp.float32)
+    B, N, K, D = x.shape
+    x = x.reshape(B, n_groups, N // n_groups, K, D)
+    mean = jnp.mean(x, axis=(2, 4), keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=(2, 4), keepdims=True)
+    y = (x - mean) / jnp.sqrt(var + eps)
+    y = y * scale + bias
+    return y.reshape(B, N, K, D).astype(in_dtype)
+
+
+def fused_detection_heads(x: jnp.ndarray, center, rotation, semcls, size,
+                          *, dtype, n_groups: int = 1):
+    """Run the four detection heads in THREE contractions instead of eight
+    (ref applies four separate GenericMLPs per iteration,
+    model/parq_decoder.py:84-132 + transformer_parq.py:211-281; at release
+    shapes the heads are part of a ~45ms tail of sub-1ms fusions in the
+    train step). Inputs are the params-only outputs of the four `HeadMLP`s
+    (center/rotation: hidden=[D, D]; semcls/size: no hiddens).
+
+    Bit-identical to the four separate `HeadMLP` applications:
+      - concatenated-kernel matmuls: output columns are independent dots;
+      - block-diagonal second/final layers: the off-diagonal zero blocks
+        contribute exact +0.0 terms to each accumulation;
+      - `_gn_pair` keeps per-head statistics separate.
+    Layout-free: the trunk stays (B, N, 2·D) end to end — the only
+    reshapes split/merge the minor-most axis (bitcasts under XLA).
+
+    Returns (center_offset3, cls_logits, size_scale3, ortho6d) — all f32
+    (final projections compute in f32, matching HeadMLP's output Dense).
+    """
+    c_hid, (wc_out, bc_out) = center
+    r_hid, (wr_out, br_out) = rotation
+    _, (w_cls, b_cls) = semcls
+    _, (w_sz, b_sz) = size
+    B, N, C = x.shape
+    D = c_hid[0][0].shape[1]
+    S = w_cls.shape[1]
+
+    # small heads (no hiddens): one f32 matmul over the shared tokens
+    w_small = jnp.concatenate([w_cls, w_sz], axis=1)
+    b_small = jnp.concatenate([b_cls, b_sz])
+    small = x.astype(jnp.float32) @ w_small + b_small
+    cls_logits, size_scale = small[..., :S], small[..., S:]
+
+    # big-head trunk, layer 1: (C, 2D) fused kernel
+    w1 = jnp.concatenate([c_hid[0][0], r_hid[0][0]], axis=1).astype(dtype)
+    h = (x.astype(dtype) @ w1).reshape(B, N, 2, D)
+    h = nn.relu(_gn_pair(h, jnp.stack([c_hid[0][1], r_hid[0][1]]),
+                         jnp.stack([c_hid[0][2], r_hid[0][2]]), n_groups))
+
+    # layer 2: block-diagonal (2D, 2D) — keeps the (B, N, 2D) layout
+    zc = jnp.zeros_like(c_hid[1][0])
+    w2 = jnp.concatenate(
+        [jnp.concatenate([c_hid[1][0], zc], axis=1),
+         jnp.concatenate([jnp.zeros_like(r_hid[1][0]), r_hid[1][0]],
+                         axis=1)], axis=0).astype(dtype)
+    h = (h.reshape(B, N, 2 * D) @ w2).reshape(B, N, 2, D)
+    h = nn.relu(_gn_pair(h, jnp.stack([c_hid[1][1], r_hid[1][1]]),
+                         jnp.stack([c_hid[1][2], r_hid[1][2]]), n_groups))
+
+    # final projections: block-diagonal (2D, 3+6), f32
+    w_out = jnp.concatenate(
+        [jnp.concatenate([wc_out, jnp.zeros((D, 6), wc_out.dtype)], axis=1),
+         jnp.concatenate([jnp.zeros((D, 3), wr_out.dtype), wr_out],
+                         axis=1)], axis=0)
+    b_out = jnp.concatenate([bc_out, br_out])
+    y = h.reshape(B, N, 2 * D).astype(jnp.float32) @ w_out + b_out
+    return y[..., :3], cls_logits, size_scale, y[..., 3:]
 
 
 class MLP2(nn.Module):
