@@ -87,15 +87,31 @@ def _rotation_loss_sym(R_pred: jnp.ndarray, R_tgt: jnp.ndarray,
     """Per-pair symmetry-resolved rotation MSE (ref: parq_decoder.py:205-262).
 
     R_pred, R_tgt: (N, 3, 3); sym: (N,) in {0..3}. Returns (N,).
+
+    Uses the trace identity
+        mean((R_pred − R_tgt·Rk)²) =
+            (‖R_pred‖² + ‖R_tgt·Rk‖² − 2·⟨Rk, R_tgtᵀR_pred⟩) / 9
+    with ‖R_tgt·Rk‖ = ‖R_tgt‖ (Rk orthogonal), so the whole angle sweep is
+    ONE (N, 9) × (9, 144) matmul instead of materializing the
+    (N, 4, 36, 3, 3) candidate tensor (~85MB of HBM traffic at release
+    shapes L=8, B=8, Q=256). Precision.HIGHEST keeps the contraction f32
+    on TPU (v5e matmuls default to bf16 — loss math must not degrade).
     """
-    angles = jnp.asarray(_ANGLES)       # (4, 36)
-    valid = jnp.asarray(_VALID)         # (4, 36)
-    Rk = roty(angles)                   # (4, 36, 3, 3)
-    cand = jnp.einsum("nij,skjl->nskil", R_tgt, Rk)  # (N,4,36,3,3)
-    per = jnp.mean((R_pred[:, None, None] - cand) ** 2, axis=(-1, -2))
-    per = jnp.where(valid[None], per, jnp.inf)       # (N, 4, 36)
-    per_sym = jnp.min(per, axis=-1)                  # (N, 4)
-    return jnp.take_along_axis(per_sym, sym[:, None], axis=1)[:, 0]
+    valid = jnp.asarray(_VALID)                       # (4, 36)
+    Rk = roty(jnp.asarray(_ANGLES)).reshape(4 * 36, 9)
+    N = R_pred.shape[0]
+    hi = jax.lax.Precision.HIGHEST
+    sq = (jnp.sum(R_pred ** 2, axis=(-2, -1))
+          + jnp.sum(R_tgt ** 2, axis=(-2, -1)))       # (N,)
+    M = jnp.einsum("nji,njk->nik", R_tgt, R_pred,
+                   precision=hi).reshape(N, 9)        # R_tgtᵀ R_pred
+    tr = jnp.matmul(M, Rk.T, precision=hi)            # (N, 144)
+    # clamp: the expanded form can round to tiny negatives at perfect fits
+    per = jnp.maximum(sq[:, None] - 2.0 * tr, 0.0) / 9.0
+    per = jnp.where(valid.reshape(-1)[None], per, jnp.inf).reshape(N, 4, 36)
+    per_sym = jnp.min(per, axis=-1)                   # (N, 4) all-finite
+    return jnp.sum(per_sym * jax.nn.one_hot(sym, 4, dtype=per_sym.dtype),
+                   axis=1)
 
 
 def set_loss(
@@ -137,17 +153,22 @@ def set_loss(
         def masked_pair_mean(err):                # err: (B, Q)
             return jnp.sum(err * matched, axis=1) / denom
 
-        # ONE row-wise gather of all matched-target fields: an expanded
+        # ONE row-wise gather of ALL matched-target fields: an expanded
         # (LB, Q, width) index makes XLA gather element-by-element (~3ms);
-        # a broadcast (LB, Q, 1) index over a concatenated (LB, K, 15)
-        # table is a 15-lane row slice per pair.
+        # a broadcast (LB, Q, 1) index over a concatenated (LB, K, 17)
+        # table is a 17-lane row slice per pair. labels/sym ride along as
+        # f32 lanes (small ints — exact) instead of two more gathers.
         nb = out_l["ortho6d"].shape[0]
         tgt_cat = jnp.concatenate(
             [targets.center, targets.size,
-             targets.rot.reshape(nb, K, 9)], axis=-1)      # (LB, K, 15)
+             targets.rot.reshape(nb, K, 9),
+             targets.labels.astype(jnp.float32)[..., None],
+             targets.sym.astype(jnp.float32)[..., None]], axis=-1)
         g = jnp.take_along_axis(tgt_cat, a[..., None], axis=1)
         tgt_center, tgt_size = g[..., 0:3], g[..., 3:6]
         R_tgt = g[..., 6:15].reshape(nb, Q, 3, 3)
+        lab_q = g[..., 15].astype(jnp.int32)               # (LB, Q)
+        sym_q = g[..., 16].astype(jnp.int32)
 
         # center / size L1 (mean over pairs AND coords == mean/3 per pair)
         c_err = jnp.mean(jnp.abs(out_l["center_unnormalized"]
@@ -160,19 +181,21 @@ def set_loss(
         # rotation with symmetry
         R_pred = rotation_matrix_from_ortho6d(
             out_l["ortho6d"].reshape(nb * Q, 6)).reshape(nb, Q, 3, 3)
-        sym_q = jnp.take_along_axis(targets.sym, a, axis=1)  # (LB, Q)
         r_err = _rotation_loss_sym(
             R_pred.reshape(nb * Q, 3, 3), R_tgt.reshape(nb * Q, 3, 3),
             sym_q.reshape(nb * Q)).reshape(nb, Q)
         r_err = jnp.where(matched, r_err, 0.0)
         rot_loss = jnp.sum(r_err, axis=1) / denom
 
-        # classification CE with background default + punish mask
-        tgt_cls = jnp.where(matched, jnp.take_along_axis(
-            targets.labels, a, axis=1), num_semcls)
+        # classification CE with background default + punish mask.
+        # one-hot contractions instead of class-axis gathers: at ~10
+        # classes the multiply-reduce vectorizes on the VPU, where a
+        # lane-axis gather lowers element-wise on TPU.
+        tgt_cls = jnp.where(matched, lab_q, num_semcls)
+        oh = jax.nn.one_hot(tgt_cls, num_semcls + 1, dtype=jnp.float32)
         logp = jax.nn.log_softmax(out_l["pred_logits"], axis=-1)
-        ce = -jnp.take_along_axis(logp, tgt_cls[..., None], axis=-1)[..., 0]
-        ce = ce * class_weight[tgt_cls]
+        ce = -jnp.sum(logp * oh, axis=-1)
+        ce = ce * jnp.sum(oh * class_weight, axis=-1)
         punish = res.punish_mask.astype(jnp.float32)
         cat_loss = (jnp.sum(ce * punish, axis=1)
                     / jnp.maximum(jnp.sum(punish, axis=1), 1.0))
