@@ -141,8 +141,28 @@ class SelfAttention(nn.Module):
         proj = functools.partial(nn.DenseGeneral,
                                  features=(self.heads, head_dim),
                                  dtype=self.dtype)
-        q = proj(name="query")(q_in)                  # (..., N, H, hd)
-        k = proj(name="key")(k_in)
+        if q_in is k_in:
+            # the decoder always passes q_in == k_in (tgt + query_pos):
+            # run the two projections as ONE (C, 2·H·hd) matmul —
+            # bit-identical (independent output columns), params stay under
+            # their own scopes (checkpoint layout / TP rules unchanged).
+            C, HD = q_in.shape[-1], self.heads * head_dim
+            qm, km = proj(name="query"), proj(name="key")
+            qm(jnp.zeros((1, C), jnp.float32))     # declare (outputs DCE'd)
+            km(jnp.zeros((1, C), jnp.float32))
+            pq, pk = qm.variables["params"], km.variables["params"]
+            w = jnp.concatenate([pq["kernel"].reshape(C, HD),
+                                 pk["kernel"].reshape(C, HD)],
+                                axis=1).astype(self.dtype)
+            b = jnp.concatenate([pq["bias"].reshape(HD),
+                                 pk["bias"].reshape(HD)]).astype(self.dtype)
+            qk = q_in.astype(self.dtype) @ w + b
+            hd_shape = qk.shape[:-1] + (self.heads, head_dim)
+            q = qk[..., :HD].reshape(hd_shape)
+            k = qk[..., HD:].reshape(hd_shape)
+        else:
+            q = proj(name="query")(q_in)              # (..., N, H, hd)
+            k = proj(name="key")(k_in)
         v = proj(name="value")(v_in)
         q = q / jnp.asarray(head_dim ** 0.5, q.dtype)
         w = jnp.einsum("...qhd,...khd->...hqk", q, k)
@@ -230,8 +250,8 @@ class DecoderLayer(nn.Module):
                                     (B, 1, self.heads, Q0, Q0), 1, G)
             sa_keep = sa_keep.reshape(B * G, self.heads, Q0, Q0)
         if G > 1:
-            sa = sa_mod(q_sa.reshape(B * G, Q0, -1),
-                        q_sa.reshape(B * G, Q0, -1),
+            q_sa_g = q_sa.reshape(B * G, Q0, -1)  # one object: q_in IS k_in
+            sa = sa_mod(q_sa_g, q_sa_g,
                         tgt.reshape(B * G, Q0, -1), sa_keep, rate)
             sa = sa.reshape(B, GQ, -1)
         else:
