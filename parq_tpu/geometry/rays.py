@@ -114,6 +114,35 @@ def ray_points_snippet_fused(pixel_grid: jnp.ndarray, camera: Camera,
     return pts.reshape(B, T, H, W, num_samples, 3)
 
 
+def ray_dirs_snippet(pixel_grid: jnp.ndarray, camera: Camera,
+                     T_camera_pseudoCam: Pose, T_world_pseudoCam: Pose,
+                     T_local_world: Pose):
+    """Per-view ray DIRECTIONS in the snippet-local frame, plus the frame
+    translation — the factored form of :func:`ray_points_snippet_fused`
+    (sample point n = rdir · depth_n + t). Lets the consumer assemble the
+    (…, samples) axis in whatever layout it wants: the (…, n, 3) point
+    tensor has a 3-wide minor dim, which on TPU either lane-pads 3→128 or
+    forces a relayout before the (…, n·3) flatten; building (…, 3, n)
+    channel-major instead keeps every elementwise pass full-width.
+
+    Returns: rdir (B, T, H·W, 3), t (B, T, 3).
+    """
+    B, T = T_camera_pseudoCam.shape[:2]
+    H, W = pixel_grid.shape[:2]
+    pix = jnp.broadcast_to(pixel_grid.reshape(1, H * W, 2),
+                           (B * T, H * W, 2))
+    rays = camera.reshape(B * T).unproject(pix)          # (BT, HW, 3)
+
+    if T_local_world.data.ndim == 2:
+        T_local_world = Pose(T_local_world.data[:, None, :])
+    T_local_pseudoCam = T_local_world @ T_world_pseudoCam
+    T_local_cam = (T_local_pseudoCam.reshape(B * T)
+                   @ T_camera_pseudoCam.reshape(B * T).inverse())
+    rdir = jnp.einsum("bij,bnj->bni", T_local_cam.R, rays)  # (BT, HW, 3)
+    return (rdir.reshape(B, T, H * W, 3),
+            T_local_cam.t.reshape(B, T, 3))
+
+
 def inverse_sigmoid(x: jnp.ndarray, eps: float = 1e-3) -> jnp.ndarray:
     """logit with the reference's double clamp (ref: ray_positional_encoding.py:22-26)."""
     x = jnp.clip(x, 0.0, 1.0)

@@ -8,7 +8,7 @@ quirk matters for checkpoint parity, so `GroupNorm1` mirrors it exactly.
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -184,13 +184,29 @@ def fused_detection_heads(x: jnp.ndarray, center, rotation, semcls, size,
 
 class MLP2(nn.Module):
     """Linear → ReLU → Linear (used by RayPE encoder and the query position
-    encoder, ref: ray_positional_encoding.py:55-59, transformer_parq.py:176-180)."""
+    encoder, ref: ray_positional_encoding.py:55-59, transformer_parq.py:176-180).
+
+    `in_perm`: static permutation of the INPUT features, folded into the
+    first kernel (y = x[..., perm] @ W == x @ W[perm]) — callers that
+    produce their features in a TPU-friendlier order than the checkpoint's
+    weight convention (rayPE's channel-major ray samples) stay
+    checkpoint-compatible for free. The param tree is unchanged.
+    """
     hidden_dim: int
     output_dim: int
     dtype: jnp.dtype = jnp.float32
+    in_perm: Optional[Tuple[int, ...]] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype)(x)
+        if self.in_perm is None:
+            x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="Dense_0")(x)
+        else:
+            d0 = nn.Dense(self.hidden_dim, dtype=self.dtype, name="Dense_0")
+            d0(jnp.zeros((1, len(self.in_perm)), jnp.float32))  # declare
+            p = d0.variables["params"]
+            w = jnp.take(p["kernel"], jnp.asarray(self.in_perm), axis=0)
+            x = (x.astype(self.dtype) @ w.astype(self.dtype)
+                 + p["bias"].astype(self.dtype))
         x = nn.relu(x)
-        return nn.Dense(self.output_dim, dtype=self.dtype)(x)
+        return nn.Dense(self.output_dim, dtype=self.dtype, name="Dense_1")(x)

@@ -12,8 +12,8 @@ from typing import Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..geometry import (Camera, Pose, grid_2d, inverse_sigmoid,
-                        ray_points_snippet_fused)
+from ..geometry import (Camera, Pose, depth_planes, grid_2d,
+                        inverse_sigmoid, ray_dirs_snippet)
 from .mlp import MLP2
 
 
@@ -32,22 +32,31 @@ class AddRayPE(nn.Module):
                  T_world_pseudoCam: Pose, T_world_local: Pose) -> jnp.ndarray:
         """Returns the per-pixel encoding (B, T, H, W, dim_out)."""
         W, H = self.feat_size
+        n = self.num_samples
         pos_2d = grid_2d(W, H)
         T_local_world = T_world_local.inverse()
-        pts = ray_points_snippet_fused(
-            pos_2d, camera, T_camera_pseudoCam, T_world_pseudoCam,
-            T_local_world, self.num_samples, self.min_depth, self.max_depth)
-        # (B, T, H, W, n, 3) → normalize by scale box then inverse_sigmoid
+        # factored rays: sample point = rdir · depth_n + t. Assemble the
+        # sample axis CHANNEL-MAJOR (…, 3, n) so every elementwise pass
+        # (normalize, logit) runs on an n-wide (release: 192-lane flat)
+        # minor dim — the (…, n, 3) order of the reference would sit on a
+        # 3-wide minor dim on TPU. The checkpoint's sample-major weight
+        # convention is restored by folding the static permutation into
+        # the encoder's first kernel (MLP2.in_perm).
+        rdir, t = ray_dirs_snippet(pos_2d, camera, T_camera_pseudoCam,
+                                   T_world_pseudoCam, T_local_world)
+        d = depth_planes(n, self.min_depth, self.max_depth, rdir.dtype)
         s = self.ray_points_scale
-        pts = jnp.stack([
-            (pts[..., 0] - s[0]) / (s[1] - s[0]),
-            (pts[..., 1] - s[2]) / (s[3] - s[2]),
-            (pts[..., 2] - s[4]) / (s[5] - s[4]),
-        ], axis=-1)
+        lo = jnp.asarray([s[0], s[2], s[4]], rdir.dtype)
+        span = jnp.asarray([s[1] - s[0], s[3] - s[2], s[5] - s[4]],
+                           rdir.dtype)
+        pts = (rdir[..., None] * d + t[:, :, None, :, None])  # (B,T,HW,3,n)
+        pts = (pts - lo[:, None]) / span[:, None]
         pts = inverse_sigmoid(pts)
         B, T = pts.shape[:2]
-        flat = pts.reshape(B, T, H, W, self.num_samples * 3)
+        flat = pts.reshape(B, T, H, W, 3 * n)
         if self.dtype is not None:
             flat = flat.astype(self.dtype)
+        perm = tuple((i % n) * 3 + i // n for i in range(3 * n))
         return MLP2(self.dim_out, self.dim_out,
-                    dtype=self.dtype or jnp.float32, name="encoder")(flat)
+                    dtype=self.dtype or jnp.float32, in_perm=perm,
+                    name="encoder")(flat)

@@ -221,3 +221,45 @@ def test_ray_points_snippet_fused_matches_reference(rng):
     b = ray_points_snippet_fused(grid, cam, Tcp, Twp, Tlw, n, 0.25, 5.25)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_ray_dirs_snippet_factorization(rng):
+    """rdir · depth_n + t (the channel-major factored form AddRayPE
+    consumes) == ray_points_snippet, for every sample index."""
+    import jax.numpy as jnp
+    from parq_tpu.geometry import (Camera, Pose, depth_planes, grid_2d,
+                                   ray_dirs_snippet, ray_points_snippet)
+
+    B, T, W, H, n = 2, 3, 8, 6, 16
+
+    def rand_pose(r):
+        a, b, c = r.randn(3) * 0.4
+        Rx = np.array([[1, 0, 0], [0, np.cos(a), -np.sin(a)],
+                       [0, np.sin(a), np.cos(a)]])
+        Ry = np.array([[np.cos(b), 0, np.sin(b)], [0, 1, 0],
+                       [-np.sin(b), 0, np.cos(b)]])
+        Rz = np.array([[np.cos(c), -np.sin(c), 0],
+                       [np.sin(c), np.cos(c), 0], [0, 0, 1]])
+        R = (Rx @ Ry @ Rz).astype(np.float32)
+        return np.concatenate([R.reshape(9),
+                               (r.randn(3)).astype(np.float32)])
+
+    cam = Camera(jnp.broadcast_to(
+        Camera.from_params(float(W), float(H), 3.0, 3.0, W / 2, H / 2).data,
+        (B, T, 6)))
+    Tcp = Pose(jnp.asarray(np.stack(
+        [[rand_pose(rng) for _ in range(T)] for _ in range(B)]), jnp.float32))
+    Twp = Pose(jnp.asarray(np.stack(
+        [[rand_pose(rng) for _ in range(T)] for _ in range(B)]), jnp.float32))
+    Tlw = Pose(jnp.asarray(np.stack(
+        [[rand_pose(rng)] for _ in range(B)]), jnp.float32))
+
+    grid = grid_2d(W, H)
+    want = ray_points_snippet(grid, cam, Tcp, Twp, Tlw, n, 0.25, 5.25)
+    rdir, t = ray_dirs_snippet(grid, cam, Tcp, Twp, Tlw)
+    d = depth_planes(n, 0.25, 5.25)
+    got = (rdir[..., None] * d
+           + t[:, :, None, :, None])            # (B, T, HW, 3, n)
+    got = jnp.moveaxis(got, -1, -2).reshape(B, T, H, W, n, 3)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
