@@ -149,7 +149,11 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="benchmark the full train step instead of eval fwd")
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--iters", type=int, default=10)
+    # 30: the one-time dispatch/tunnel sync around the single fori-loop
+    # call is ~3.4ms at 10 iters (measured: device lane packed at
+    # 24.74ms/iter vs 28.2ms/iter wall) — more steady-state iterations
+    # amortize the constant; per-iteration work stays fully loop-variant.
+    ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--no-pallas", action="store_true",
                     help="disable the fused matmul sampler (default on)")
     ap.add_argument("--pallas", action="store_true",
