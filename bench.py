@@ -32,7 +32,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 CPU_REFERENCE_FPS = 0.34
 
 
-def build(batch_size: int, use_pallas: bool, dtype: str = "float32"):
+def build(batch_size: int, use_pallas: bool, dtype: str = "float32",
+          use_flash: bool = True):
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir",
@@ -44,7 +45,7 @@ def build(batch_size: int, use_pallas: bool, dtype: str = "float32"):
 
     model = _flagship_model()
     model = dataclasses.replace(model, use_pallas=use_pallas,
-                                compute_dtype=dtype)
+                                use_flash=use_flash, compute_dtype=dtype)
     batch = _batch(model, batch_size)
     params = model.init(jax.random.PRNGKey(0), batch)
 
@@ -181,16 +182,24 @@ def main():
         return
 
     use_pallas = not args.no_pallas
-    try:
-        fwd, batch = build(args.batch, use_pallas=use_pallas,
-                           dtype=args.dtype)
-        fps = measure(fwd, batch, iters=args.iters)
-    except Exception:
-        if not use_pallas:
-            raise
-        # fall back to the pure-XLA sampler if the pallas path fails
-        fwd, batch = build(args.batch, use_pallas=False, dtype=args.dtype)
-        fps = measure(fwd, batch, iters=args.iters)
+    # graceful degradation: always print a number. Tiers: full kernels →
+    # XLA sampler (flash kept) → all-XLA ops.
+    tiers = [dict(use_pallas=use_pallas)]
+    if use_pallas:
+        tiers.append(dict(use_pallas=False))
+    tiers.append(dict(use_pallas=False, use_flash=False))
+    last_err = None
+    for i, tier in enumerate(tiers):
+        try:
+            fwd, batch = build(args.batch, dtype=args.dtype, **tier)
+            fps = measure(fwd, batch, iters=args.iters)
+            break
+        except Exception as e:  # noqa: BLE001 — report the last tier's error
+            last_err = e
+            import sys
+            print(f"bench tier {tier} failed: {e!r}", file=sys.stderr)
+    else:
+        raise last_err
 
     print(json.dumps({
         "metric": "multi_view_frames_per_sec_per_chip",
