@@ -5,6 +5,7 @@ shape-static: (B, T) are leading batch axes, (H, W) compile-time constants.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .camera import Camera
@@ -103,14 +104,11 @@ def ray_points_snippet_fused(pixel_grid: jnp.ndarray, camera: Camera,
 
     if T_local_world.data.ndim == 2:
         T_local_world = Pose(T_local_world.data[:, None, :])
-    T_local_pseudoCam = T_local_world @ T_world_pseudoCam
-    T_local_cam = (T_local_pseudoCam.reshape(B * T)
-                   @ T_camera_pseudoCam.reshape(B * T).inverse())
-
-    rdir = jnp.einsum("bij,bnj->bni", T_local_cam.R, rays)  # (BT, HW, 3)
-    d = depth_planes(num_samples, min_depth, max_depth, rays.dtype)
-    pts = (rdir[:, :, None, :] * d[None, None, :, None]
-           + T_local_cam.t[:, None, None, :])            # (BT, HW, n, 3)
+    rdir, t = ray_dirs_snippet(pixel_grid, camera, T_camera_pseudoCam,
+                               T_world_pseudoCam, T_local_world)
+    d = depth_planes(num_samples, min_depth, max_depth, rdir.dtype)
+    pts = (rdir.reshape(B * T, H * W, 1, 3) * d[None, None, :, None]
+           + t.reshape(B * T, 1, 1, 3))                  # (BT, HW, n, 3)
     return pts.reshape(B, T, H, W, num_samples, 3)
 
 
@@ -138,7 +136,11 @@ def ray_dirs_snippet(pixel_grid: jnp.ndarray, camera: Camera,
     T_local_pseudoCam = T_local_world @ T_world_pseudoCam
     T_local_cam = (T_local_pseudoCam.reshape(B * T)
                    @ T_camera_pseudoCam.reshape(B * T).inverse())
-    rdir = jnp.einsum("bij,bnj->bni", T_local_cam.R, rays)  # (BT, HW, 3)
+    # HIGHEST: geometry must not drop to the v5e default bf16 matmul
+    # precision (CLAUDE.md; pose.py transform uses explicit mul/add for
+    # the same reason)
+    rdir = jnp.einsum("bij,bnj->bni", T_local_cam.R, rays,
+                      precision=jax.lax.Precision.HIGHEST)  # (BT, HW, 3)
     return (rdir.reshape(B, T, H * W, 3),
             T_local_cam.t.reshape(B, T, 3))
 

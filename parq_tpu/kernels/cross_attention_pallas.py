@@ -379,8 +379,11 @@ def _fwd_call(q, kt, v, seed, block_k, n_valid, rate, q_tile, interpret,
                                  "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * Q * n_total * D,
+            # kv_fused passes ONE (B, N, 2·H·D) buffer as both operands
+            # and reads it once; 2·kt.size would claim double
             bytes_accessed=(q.size * q.dtype.itemsize
-                            + 2 * kt.size * kt.dtype.itemsize
+                            + (1 if kv_fused else 2)
+                            * kt.size * kt.dtype.itemsize
                             + B * H * Q * D * q.dtype.itemsize),
             transcendentals=B * H * Q * n_total),
         interpret=interpret,
