@@ -41,7 +41,7 @@ import jax.numpy as jnp
 
 from ..geometry import Camera, Pose, inverse_sigmoid
 from ..ops.posemb import pos2posemb3d
-from .mlp import MLP2, HeadMLP, fused_detection_heads
+from .mlp import MLP2, HeadMLP, declare_params, fused_detection_heads
 
 # dropout-site salts (fold_in(key_l, salt)); shared by the sequential and
 # folded paths so their draws coincide
@@ -147,10 +147,8 @@ class SelfAttention(nn.Module):
             # bit-identical (independent output columns), params stay under
             # their own scopes (checkpoint layout / TP rules unchanged).
             C, HD = q_in.shape[-1], self.heads * head_dim
-            qm, km = proj(name="query"), proj(name="key")
-            qm(jnp.zeros((1, C), jnp.float32))     # declare (outputs DCE'd)
-            km(jnp.zeros((1, C), jnp.float32))
-            pq, pk = qm.variables["params"], km.variables["params"]
+            pq = declare_params(proj(name="query"), C)
+            pk = declare_params(proj(name="key"), C)
             w = jnp.concatenate([pq["kernel"].reshape(C, HD),
                                  pk["kernel"].reshape(C, HD)],
                                 axis=1).astype(self.dtype)

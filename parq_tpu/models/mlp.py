@@ -14,6 +14,17 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+def declare_params(module: nn.Module, in_features: int):
+    """Declare a Dense/DenseGeneral submodule's params WITHOUT using its
+    output (dummy (1, in_features) zeros call — XLA DCEs the matmul) and
+    return the param dict. The fused compute paths read per-module weights
+    this way so every param keeps its own scope: checkpoint layout and TP
+    sharding rules are unchanged. The module must carry an explicit `name`
+    that replicates flax's auto-numbering for the normal compute path."""
+    module(jnp.zeros((1, in_features), jnp.float32))
+    return module.variables["params"]
+
+
 class GroupNorm1(nn.Module):
     """torch GroupNorm(1, C) over (B, N, C) inputs: normalize over (N, C)
     jointly, per-channel affine. eps matches torch default."""
@@ -83,17 +94,15 @@ class HeadMLP(nn.Module):
             assert self.in_features > 0, "params-only call needs in_features"
             c, hidden = self.in_features, []
             for i, h in enumerate(self.hidden_dims):
-                d = nn.Dense(h, use_bias=False, dtype=self.dtype,
-                             name=f"Dense_{i}")
-                d(jnp.zeros((1, c), jnp.float32))   # declare (output DCE'd)
+                d = declare_params(
+                    nn.Dense(h, use_bias=False, dtype=self.dtype,
+                             name=f"Dense_{i}"), c)
                 gs, gb = GroupNorm1(h, name=f"GroupNorm1_{i}")(None)
-                hidden.append((d.variables["params"]["kernel"], gs, gb))
+                hidden.append((d["kernel"], gs, gb))
                 c = h
-            dout = nn.Dense(self.output_dim, use_bias=True,
-                            dtype=jnp.float32,
-                            name=f"Dense_{len(self.hidden_dims)}")
-            dout(jnp.zeros((1, c), jnp.float32))
-            p = dout.variables["params"]
+            p = declare_params(
+                nn.Dense(self.output_dim, use_bias=True, dtype=jnp.float32,
+                         name=f"Dense_{len(self.hidden_dims)}"), c)
             return hidden, (p["kernel"], p["bias"])
         for h in self.hidden_dims:
             x = nn.Dense(h, use_bias=False, dtype=self.dtype)(x)
@@ -212,9 +221,9 @@ class MLP2(nn.Module):
         if self.in_perm is None:
             x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="Dense_0")(x)
         else:
-            d0 = nn.Dense(self.hidden_dim, dtype=self.dtype, name="Dense_0")
-            d0(jnp.zeros((1, len(self.in_perm)), jnp.float32))  # declare
-            p = d0.variables["params"]
+            p = declare_params(
+                nn.Dense(self.hidden_dim, dtype=self.dtype, name="Dense_0"),
+                len(self.in_perm))
             w = jnp.take(p["kernel"], jnp.asarray(self.in_perm), axis=0)
             x = (x.astype(self.dtype) @ w.astype(self.dtype)
                  + p["bias"].astype(self.dtype))
