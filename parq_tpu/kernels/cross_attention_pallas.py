@@ -93,7 +93,8 @@ def _fwd_kernel(seed_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr, *,
                 sm_scale: float, block_k: int, q_tile: int, n_valid: int,
                 n_total: int, rate: float, groups: int, want_lse: bool,
-                kv_nc: bool, interpret: bool):
+                kv_nc: bool, kv_interleaved: bool = False,
+                interpret: bool):
     nb = pl.program_id(2)
     qb = pl.program_id(3)
 
@@ -108,8 +109,16 @@ def _fwd_kernel(seed_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref,
         # K/V arrive (B, N, H·D) — the projection's natural layout, no
         # relayout/pad outside. k block (BK, D); NT dot (contraction on
         # lanes of both operands — same form the backward already uses).
-        k = kt_ref[0]                                 # (BK, D)
-        v = v_ref[0]                                  # (BK, D)
+        if kv_interleaved:
+            # ONE (BK, 2D) block holds this head's K then V lanes — K and
+            # V arrive in a single DMA; the splits are VMEM lane slices.
+            D = q.shape[-1]
+            blk = kt_ref[0]                           # (BK, 2D)
+            k = blk[:, :D]
+            v = blk[:, D:]
+        else:
+            k = kt_ref[0]                             # (BK, D)
+            v = v_ref[0]                              # (BK, D)
         if n_valid < n_total:
             # partial last block: zero the OOB rows (their VMEM content is
             # undefined; a NaN would poison 0·v in the PV matmul)
@@ -310,19 +319,16 @@ def pad_kv_for_flash(k_t: jnp.ndarray, v: jnp.ndarray,
     return k_t, v
 
 
-def _kv_specs(kv_nc: bool, block_k: int, D: int, kv_fused_heads: int = 0):
+def _kv_specs(kv_nc: bool, block_k: int, D: int, kv_fused: bool = False):
     """Block specs for (K-or-Kᵀ, V) under the supported layouts.
 
-    `kv_fused_heads=H`: K and V live in ONE (B, N, 2·H·D) buffer (the fused
-    projection's natural output) passed as BOTH operands — K at lane block
-    h, V at lane block H+h. The kernel body is oblivious: each ref still
-    sees a (1, BK, D) block."""
-    if kv_fused_heads:
-        H = kv_fused_heads
+    `kv_fused`: K and V live in ONE (B, N, H·2D) head-interleaved buffer
+    ([K_h | V_h] lanes per head — the fused projection emits this order
+    for free); ONE (1, BK, 2D) block fetches both in a single DMA and the
+    kernel splits them as VMEM lane slices."""
+    if kv_fused:
         return [
-            pl.BlockSpec((1, block_k, D), lambda b, h, n, t: (b, n, h),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, D), lambda b, h, n, t: (b, n, H + h),
+            pl.BlockSpec((1, block_k, 2 * D), lambda b, h, n, t: (b, n, h),
                          memory_space=pltpu.VMEM),
         ]
     if kv_nc:   # (B, N, H·D): block (1, BK, D), head h = lane offset h·D
@@ -350,7 +356,13 @@ def _fwd_call(q, kt, v, seed, block_k, n_valid, rate, q_tile, interpret,
     kernel = functools.partial(
         _fwd_kernel, sm_scale=1.0 / (D ** 0.5), block_k=block_k, q_tile=QT,
         n_valid=n_valid, n_total=n_total, rate=rate, groups=groups,
-        want_lse=want_lse, kv_nc=kv_nc, interpret=interpret)
+        want_lse=want_lse, kv_nc=kv_nc, kv_interleaved=kv_fused,
+        interpret=interpret)
+    if kv_fused:
+        base = kernel  # ONE kv operand: reinsert the unused v_ref slot
+
+        def kernel(seed_ref, q_ref, kv_ref, *rest):  # noqa: F811
+            return base(seed_ref, q_ref, kv_ref, None, *rest)
     out = pl.pallas_call(
         kernel,
         grid=(B, H, nb, QB),
@@ -358,7 +370,7 @@ def _fwd_call(q, kt, v, seed, block_k, n_valid, rate, q_tile, interpret,
             pl.BlockSpec(memory_space=pltpu.SMEM),     # seeds (G,)
             pl.BlockSpec((1, 1, QT, D), lambda b, h, n, t: (b, h, t, 0),
                          memory_space=pltpu.VMEM),
-        ] + _kv_specs(kv_nc, block_k, D, H if kv_fused else 0),
+        ] + _kv_specs(kv_nc, block_k, D, kv_fused),
         out_specs=[
             pl.BlockSpec((1, 1, Q, D), lambda b, h, n, t: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -387,7 +399,7 @@ def _fwd_call(q, kt, v, seed, block_k, n_valid, rate, q_tile, interpret,
                             + B * H * Q * D * q.dtype.itemsize),
             transcendentals=B * H * Q * n_total),
         interpret=interpret,
-    )(seed, q, kt, v)
+    )(*((seed, q, kt) if kv_fused else (seed, q, kt, v)))
     return out[0], out[1]
 
 
@@ -566,10 +578,12 @@ def flash_cross_attention_kv_fused(q: jnp.ndarray, kv: jnp.ndarray, *,
                                    block_k: int = 1920,
                                    n_valid: int = None,
                                    interpret: bool = None) -> jnp.ndarray:
-    """Forward-only flash attention over a FUSED (B, N, 2·H·D) K/V buffer —
-    the natural output of projecting K and V in one matmul. K lives in lane
-    blocks [0, H·D), V in [H·D, 2·H·D); the kernel reads each via its own
-    BlockSpec, so no slice of the ~470MB buffer is ever materialized.
+    """Forward-only flash attention over a FUSED (B, N, H·2D) K/V buffer —
+    the natural output of projecting K and V in one matmul with
+    head-INTERLEAVED output columns: lanes [h·2D, h·2D + D) hold K_h and
+    [h·2D + D, (h+1)·2D) hold V_h. One (BK, 2D) BlockSpec fetches a
+    head's K and V in a single DMA (half the DMA issue rate of separate
+    operands); no slice of the ~470MB buffer is ever materialized.
 
     Inference path only (deterministic, NOT differentiable — a VJP would
     have to hand back a fused dKV cotangent, whose assembly costs more than

@@ -576,12 +576,14 @@ class PARQDecoder(nn.Module):
         v_proj = FlatHeadDense(self.heads, head_dim, dtype=self.dtype,
                                in_features=Cm, name="cross_attn_value")
         if kv_fused:
-            wk, bk = k_proj()
+            wk, bk = k_proj()   # (C, H, D) / (H, D)
             wv, bv = v_proj()
-            hd_out = self.heads * head_dim
-            w_kv = jnp.concatenate([wk.reshape(Cm, hd_out),
-                                    wv.reshape(Cm, hd_out)], axis=1)
-            b_kv = jnp.concatenate([bk.reshape(hd_out), bv.reshape(hd_out)])
+            # head-INTERLEAVED columns [K_h | V_h]: the flash kernel then
+            # fetches a head's K and V in ONE (BK, 2D) block DMA
+            w_kv = jnp.stack([wk, wv], axis=2).reshape(
+                Cm, self.heads * 2 * head_dim)
+            b_kv = jnp.stack([bk, bv], axis=1).reshape(
+                self.heads * 2 * head_dim)
             k_mem = v_mem = (memory_tokens @ w_kv.astype(self.dtype)
                              + b_kv.astype(self.dtype))
         else:

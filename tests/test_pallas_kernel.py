@@ -335,16 +335,18 @@ def test_flash_q_tile_split_matches_single_tile(rng):
 
 
 def test_flash_kv_fused_matches_separate(rng):
-    """Eval-only fused (B, N, 2·H·D) K/V buffer (one projection matmul,
-    kernel reads K/V via lane-offset BlockSpecs) == the separate-K/V call
-    bit-for-bit, including a masked partial last block."""
+    """Eval-only fused (B, N, H·2D) head-INTERLEAVED K/V buffer (one
+    projection matmul; the kernel fetches a head's K and V in one block
+    DMA) == the separate-K/V call bit-for-bit, including a masked partial
+    last block."""
     from parq_tpu.kernels.cross_attention_pallas import (
         flash_cross_attention_kv_fused)
     B, H, Q, D, N = 2, 4, 16, 128, 300   # N % block_k != 0
     q = jnp.asarray(rng.randn(B, H, Q, D).astype(np.float32))
     k = jnp.asarray(rng.randn(B, N, H * D).astype(np.float32) * 0.3)
     v = jnp.asarray(rng.randn(B, N, H * D).astype(np.float32))
-    kv = jnp.concatenate([k, v], axis=-1)
+    kv = jnp.stack([k.reshape(B, N, H, D), v.reshape(B, N, H, D)],
+                   axis=3).reshape(B, N, 2 * H * D)
 
     want = flash_cross_attention(q, k, v, n_valid=N, block_k=128,
                                  interpret=True)
