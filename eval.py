@@ -12,7 +12,7 @@ import argparse
 import faulthandler
 import logging
 
-from parq_tpu.config import get_cfg, update_config
+from parq_tpu.config import apply_platform, get_cfg, update_config
 
 faulthandler.enable(all_threads=True)  # crash diagnosis (ref: eval.py:13-14)
 
@@ -36,6 +36,7 @@ def main():
     if args.DEMO:
         cfg.defrost(); cfg.DEMO = True; cfg.freeze()
     logging.basicConfig(level=logging.INFO)
+    apply_platform(cfg)
 
     from parq_tpu.data import DemoDataset, ScanNetDataset, SnippetLoader
     from parq_tpu.train.loop import Trainer, to_device_batch

@@ -114,6 +114,10 @@ _C.MODEL.DECODER.TRANSFORMER.SHARE_WEIGHTS = True
 
 # TPU-native additions (absent in the reference)
 _C.TPU = CN()
+_C.TPU.PLATFORM = ""           # force a jax platform ("cpu"/"tpu"); "" = default.
+                               # Env PARQ_PLATFORM overrides (the site hook pins
+                               # JAX_PLATFORMS, so env-level overrides are ignored
+                               # and the switch must happen in-process).
 _C.TPU.MESH_DATA = -1          # -1: use all devices on the data axis
 _C.TPU.MESH_MODEL = 1          # model-parallel axis size (tokens/heads sharding)
 _C.TPU.COMPUTE_DTYPE = "float32"   # "bfloat16" for the fast path
@@ -143,6 +147,20 @@ def update_config(cfg: CN, args) -> None:
         cfg.merge_from_list(args.opts)
     check_config(cfg)
     cfg.freeze()
+
+
+def apply_platform(cfg: CN) -> None:
+    """Force the jax platform from TPU.PLATFORM / env PARQ_PLATFORM.
+
+    Must run BEFORE any other jax use. The site hook pins JAX_PLATFORMS
+    (ignoring env overrides), so smoke/CPU runs need this in-process
+    switch — e.g. `python eval.py --cfg configs/smoke.yaml` with the TPU
+    tunnel unavailable."""
+    import os
+    platform = os.environ.get("PARQ_PLATFORM", "") or cfg.TPU.PLATFORM
+    if platform:
+        import jax
+        jax.config.update("jax_platforms", platform)
 
 
 # TRAINER.PRECISION values (ref: train.py:119 passes it to Lightning) and

@@ -10,7 +10,7 @@ dataset (no ScanNet needed) — handy for smoke runs and CI.
 import argparse
 import logging
 
-from parq_tpu.config import get_cfg, update_config
+from parq_tpu.config import apply_platform, get_cfg, update_config
 
 
 def build_loaders(cfg):
@@ -82,6 +82,7 @@ def main():
     cfg = get_cfg()
     update_config(cfg, args)
     logging.basicConfig(level=logging.INFO)
+    apply_platform(cfg)
 
     # multi-host bring-up BEFORE any other jax use (ref: DDP over
     # GPUS x NUM_NODES processes, train.py:103-110)
