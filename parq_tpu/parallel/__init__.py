@@ -2,8 +2,9 @@ from .mesh import (DATA_AXIS, MODEL_AXIS, make_mesh, batch_sharding,
                    replicated, shard_batch, param_sharding_rules)
 from .multihost import (host_shard_indices, initialize_distributed,
                         is_main_process)
+from .seq_parallel import sp_flash_cross_attention
 
 __all__ = ["DATA_AXIS", "MODEL_AXIS", "make_mesh", "batch_sharding",
            "replicated", "shard_batch", "param_sharding_rules",
            "host_shard_indices", "initialize_distributed",
-           "is_main_process"]
+           "is_main_process", "sp_flash_cross_attention"]

@@ -1,0 +1,156 @@
+"""Sequence-parallel cross-attention over the memory-token axis.
+
+The decoder's dominant cost is cross-attention of Q=256 queries against
+N = T·h·w ≈ 14.4k memory tokens (59 MB of K/V at release dims, bf16).
+The reference has no answer beyond one GPU (its only parallelism is DDP,
+ref: train.py:103-110); here the K/V tokens shard over the mesh's `model`
+axis and each device runs the existing flash kernel on its local shard —
+the TPU-native long-context axis (flash-decoding-style partial-softmax
+merge over ICI, scaling-book recipe: shard, compute local, combine with
+one small collective).
+
+Math: each shard i computes (o_i, lse_i) over its token slice with the
+zero-copy flash kernel. With m = max_i lse_i and w_i = exp(lse_i − m):
+
+    o  = Σ_i o_i · w_i / Σ_i w_i          (exact global softmax output)
+    lse = m + log Σ_i w_i                 (exact global logsumexp)
+
+Gradients: the merged (o, lse) feed `flash_cross_attention_precomputed`,
+whose custom VJP runs the standard flash backward from the GLOBAL (o, lse)
+against the LOCAL (k_i, v_i) — p_ij = exp(s_ij − lse) is the true global
+softmax probability of a local column, so dk_i/dv_i are exact, and the
+replicated-q in_spec makes shard_map psum the per-shard dq cotangents.
+The merge arithmetic itself carries no gradient (fwd_lse is declared
+zero-grad), so nothing is double-counted.
+
+Only the collectives touch the network: one pmax + two psums over
+(B, H, Q, 128)/(B, H, Q, D) — ~0.5 MB at release dims vs the 59 MB K/V
+that now never moves.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .mesh import MODEL_AXIS
+
+# decorrelates the in-kernel dropout hash across shards: the kernel's mask
+# column index is shard-local, so identical seeds on every shard would draw
+# identical masks for different global columns
+_SHARD_SEED_STRIDE = np.int32(np.uint32(0x9E3779B1))  # golden-ratio odd constant
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _scale_grad(x, s: float):
+    """Identity whose VJP multiplies the cotangent by `s`.
+
+    shard_map with check_vma=False splits a replicated (out_specs=P())
+    output's cotangent evenly across the mesh — every in-body gradient
+    arrives scaled by 1/mesh.size. Pre-compensating here keeps the body's
+    flash VJP + the replicated-q psum exact (pinned by
+    tests/test_seq_parallel.py::test_sp_gradients_match_xla)."""
+    return x
+
+
+def _scale_grad_fwd(x, s):
+    return x, None
+
+
+def _scale_grad_bwd(s, _, g):
+    return (g * s,)
+
+
+_scale_grad.defvjp(_scale_grad_fwd, _scale_grad_bwd)
+
+
+def _merge_partials(o_i, lse_i, axis: str):
+    """LSE-weighted merge of per-shard flash partials → global (o, lse).
+
+    lse_i arrives lane-broadcast (B, H, Q, 128) f32 straight from the
+    kernel; the merge keeps that layout so the result can feed the
+    precomputed-backward without a relayout."""
+    m = jax.lax.pmax(lse_i, axis)
+    w = jnp.exp(lse_i - m)                                # (B, H, Q, 128)
+    num = jax.lax.psum(
+        o_i.astype(jnp.float32) * w[..., :1], axis)       # (B, H, Q, D)
+    den = jax.lax.psum(w, axis)
+    o = (num / den[..., :1]).astype(o_i.dtype)
+    lse = m + jnp.log(den)
+    return o, lse
+
+
+def sp_flash_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                             *, mesh: Mesh, axis: str = MODEL_AXIS,
+                             block_k: int = 1440,
+                             dropout_rate: float = 0.0,
+                             dropout_seed=None, q_tile: int = None,
+                             interpret: bool = None) -> jnp.ndarray:
+    """Flash cross-attention with K/V sequence-sharded over `mesh[axis]`.
+
+    Args:
+      q: (B, H, Q, D) queries, replicated over `axis`.
+      k, v: (B, N, H·D) memory K/V in the projections' natural zero-copy
+        layout, sharded (or shardable) on the token axis 1. N must divide
+        by the axis size; all N tokens are attended (the model's memory
+        tokens are always fully valid — n_valid only exists for block
+        padding, which each shard handles locally).
+      dropout_seed: as in `flash_cross_attention` (scalar or (G,) vector);
+        per-shard seeds are derived internally so masks decorrelate.
+
+    Returns the exact global attention output (B, H, Q, D), replicated.
+    Differentiable (dq/dk/dv exact); with size-1 meshes it degrades to the
+    plain single-device kernel call.
+    """
+    from ..kernels.cross_attention_pallas import (
+        flash_cross_attention, flash_cross_attention_fwd_lse,
+        flash_cross_attention_precomputed)
+
+    size = mesh.shape[axis]
+    if size == 1:
+        return flash_cross_attention(
+            q, k, v, block_k=block_k, n_valid=k.shape[1],
+            dropout_rate=dropout_rate, dropout_seed=dropout_seed,
+            q_tile=q_tile, interpret=interpret)
+
+    B, H, Q, D = q.shape
+    N = k.shape[1]
+    assert k.ndim == 3 and k.shape[-1] == H * D and v.shape == k.shape, (
+        "SP path wants the zero-copy (B, N, H·D) K/V layout", k.shape)
+    assert N % size == 0, f"N={N} not divisible by {axis}={size}"
+    n_local = N // size
+    seeds = (None if dropout_seed is None
+             else jnp.asarray(dropout_seed).reshape(-1).astype(jnp.int32))
+
+    def body(q, k, v, *seed_args):
+        local_seed = None
+        if seed_args:
+            idx = jax.lax.axis_index(axis).astype(jnp.int32)
+            local_seed = seed_args[0] + idx * jnp.int32(_SHARD_SEED_STRIDE)
+        kwargs = dict(block_k=min(block_k, max(8, -(-n_local // 8) * 8)),
+                      n_valid=n_local, dropout_rate=dropout_rate,
+                      dropout_seed=local_seed, q_tile=q_tile,
+                      interpret=interpret)
+        o_i, lse_i = flash_cross_attention_fwd_lse(q, k, v, **kwargs)
+        # the merge carries no gradient by construction (fwd_lse is a
+        # declared-zero-grad op; real gradients flow through the
+        # precomputed VJP below) — stop_gradient also keeps reverse-mode
+        # from needing a pmax differentiation rule
+        o_g, lse_g = _merge_partials(jax.lax.stop_gradient(o_i),
+                                     jax.lax.stop_gradient(lse_i), axis)
+        # differentiable pass-through: primal is o_g, VJP is the flash
+        # backward from the global (o, lse) against the local K/V shard.
+        # The cotangent arriving here is split 1/size by the unchecked
+        # replicated out-spec — _scale_grad(·, size) restores it (every
+        # non-SP mesh axis recovers its replication psum exactly).
+        o = flash_cross_attention_precomputed(q, k, v, o_g, lse_g, **kwargs)
+        return _scale_grad(o, float(size))
+
+    kv_spec = P(None, axis, None)
+    in_specs = (P(), kv_spec, kv_spec) + ((P(),) if seeds is not None else ())
+    fn = jax.shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=P(),
+                       check_vma=False)
+    return fn(q, k, v, *(() if seeds is None else (seeds,)))
