@@ -120,6 +120,9 @@ _C.TPU.PLATFORM = ""           # force a jax platform ("cpu"/"tpu"); "" = defaul
                                # and the switch must happen in-process).
 _C.TPU.MESH_DATA = -1          # -1: use all devices on the data axis
 _C.TPU.MESH_MODEL = 1          # model-parallel axis size (tokens/heads sharding)
+_C.TPU.SEQ_PARALLEL = False    # shard memory tokens + K/V over the model axis
+                               # (sequence-parallel flash attention; needs
+                               # MESH_MODEL > 1 and the flash path)
 _C.TPU.COMPUTE_DTYPE = "float32"   # "bfloat16" for the fast path
 _C.TPU.PARAM_DTYPE = "float32"
 _C.TPU.USE_PALLAS_SAMPLER = True   # fused matmul sampler (bf16 TPU path)

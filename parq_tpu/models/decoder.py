@@ -215,6 +215,11 @@ class DecoderLayer(nn.Module):
     # k_mem IS the fused (B, N, 2·H·D) K/V buffer (v_mem ignored);
     # inference-only (PARQDecoder gates on deterministic)
     kv_fused: bool = False
+    # sequence parallelism: K/V memory tokens sharded over this mesh's
+    # `model` axis; attention runs the SP flash variants (partial-softmax
+    # LSE merge, parallel/seq_parallel.py). Excludes kv_fused (gated in
+    # PARQDecoder). None = single-device kernels.
+    sp_mesh: Optional[object] = None
 
     @nn.compact
     def __call__(self, tgt: jnp.ndarray, k_mem: jnp.ndarray,
@@ -291,6 +296,21 @@ class DecoderLayer(nn.Module):
                 block_k=1280 if G > 1 else (4800 if det else 1440),
                 q_tile=Q0 if G > 1 else None,
                 dropout_rate=0.0 if det else rate, dropout_seed=seeds)
+            if self.sp_mesh is not None:
+                # sequence-parallel variants: same API minus n_valid (the
+                # SP path asserts all-N-valid, which kv_valid==N is here;
+                # each shard masks its own block padding)
+                from ..parallel.seq_parallel import (
+                    sp_flash_cross_attention,
+                    sp_flash_cross_attention_fwd_lse,
+                    sp_flash_cross_attention_precomputed)
+                del kwargs["n_valid"]
+                kwargs["mesh"] = self.sp_mesh
+                flash_cross_attention = sp_flash_cross_attention
+                flash_cross_attention_fwd_lse = \
+                    sp_flash_cross_attention_fwd_lse
+                flash_cross_attention_precomputed = \
+                    sp_flash_cross_attention_precomputed
             if self.kv_fused:
                 assert det and precomputed is None and not aux_out
                 attn = flash_cross_attention_kv_fused(
@@ -351,6 +371,7 @@ class DecoderIteration(nn.Module):
     use_flash: bool = False   # resolved by PARQDecoder (gate + layout prep)
     kv_valid: Optional[int] = None
     kv_fused: bool = False    # eval-only fused K/V buffer (see PARQDecoder)
+    sp_mesh: Optional[object] = None  # sequence-parallel K/V (PARQDecoder)
     sampler_force: bool = False  # tests: force the fast sampler off-TPU
     dtype: jnp.dtype = jnp.float32
 
@@ -400,6 +421,7 @@ class DecoderIteration(nn.Module):
                                  dtype=self.dtype, use_flash=self.use_flash,
                                  kv_valid=self.kv_valid,
                                  kv_fused=self.kv_fused,
+                                 sp_mesh=self.sp_mesh,
                                  name="layer")(pix.astype(self.dtype),
                                                k_mem, v_mem,
                                                pos_feat.astype(self.dtype),
@@ -513,6 +535,11 @@ class PARQDecoder(nn.Module):
     batched_grad: bool = True
     remat: bool = False
     force_kernels: bool = False  # tests: run flash/fast-sampler off-TPU
+    # sequence parallelism: shard the N memory tokens (and their K/V) over
+    # this mesh's `model` axis (parallel/seq_parallel.py). Requires the
+    # flash path; disables the fused-K/V eval projection (the SP merge
+    # needs the separate-operand lse kernel).
+    sp_mesh: Optional[object] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -564,13 +591,24 @@ class PARQDecoder(nn.Module):
         # fused matmul sampler: same bf16-TPU gate (f32 parity runs keep
         # the exact XLA gather path)
         pallas_sampler = self.use_pallas and on_fast_path
+        sp_mesh = self.sp_mesh if flash else None
+        if sp_mesh is not None:
+            # place the token axis shard-local BEFORE the K/V projections
+            # so XLA computes them without gathering the 59MB K/V; the SP
+            # attention then consumes the shards in place
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import MODEL_AXIS
+            memory_tokens = jax.lax.with_sharding_constraint(
+                memory_tokens,
+                NamedSharding(sp_mesh, P(None, MODEL_AXIS, None)))
         # INFERENCE: project K and V in ONE (C, 2·H·D) matmul — the token
         # activation is read once and the flash kernel consumes the fused
         # buffer via lane-offset blocks (no slice ever materializes).
         # Training keeps separate projections: the flash VJP would have to
         # hand back a fused dKV cotangent, whose assembly (~1.2ms of HBM
         # traffic at release shapes) cancels the fwd/dW savings.
-        kv_fused = flash and deterministic
+        # SP runs separate K/V too (the merge needs the lse kernel).
+        kv_fused = flash and deterministic and sp_mesh is None
         k_proj = FlatHeadDense(self.heads, head_dim, dtype=self.dtype,
                                in_features=Cm, name="cross_attn_key")
         v_proj = FlatHeadDense(self.heads, head_dim, dtype=self.dtype,
@@ -604,7 +642,7 @@ class PARQDecoder(nn.Module):
             scale=tuple(self.scale), feat_size=tuple(self.feat_size),
             mean_size=mean_size, deterministic=deterministic,
             use_pallas=pallas_sampler, use_flash=flash, kv_valid=kv_valid,
-            kv_fused=kv_fused,
+            kv_fused=kv_fused, sp_mesh=sp_mesh,
             sampler_force=self.force_kernels, dtype=self.dtype)
 
         inputs = (memory_hw, camera.data, T_camera_local.data, k_mem, v_mem)

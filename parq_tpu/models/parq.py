@@ -44,10 +44,14 @@ class PARQModel(nn.Module):
     use_flash: bool = True   # fused cross-attn kernel (bf16 TPU path only)
     batched_grad: bool = True  # fold iterations for the training backward
     remat: bool = False
+    # sequence parallelism: shard the memory tokens + K/V over this mesh's
+    # `model` axis (parallel/seq_parallel.py); flash path only
+    sp_mesh: Any = None
     compute_dtype: str = "float32"   # "bfloat16" for the fast path
 
     @classmethod
-    def from_config(cls, cfg, use_pallas: bool = None) -> "PARQModel":
+    def from_config(cls, cfg, use_pallas: bool = None,
+                    sp_mesh=None) -> "PARQModel":
         m = cfg.MODEL
         mean = load_mean_size_table(m.DECODER.MEAN_SIZE_PATH,
                                     m.DECODER.NUM_SEMCLS)
@@ -79,6 +83,7 @@ class PARQModel(nn.Module):
             use_flash=bool(getattr(cfg.TPU, "USE_FLASH_CROSS_ATTN", True)),
             batched_grad=bool(getattr(cfg.TPU, "BATCHED_GRAD", True)),
             remat=bool(cfg.TPU.REMAT),
+            sp_mesh=sp_mesh,
             compute_dtype=compute_dtype,
         )
 
@@ -128,7 +133,8 @@ class PARQModel(nn.Module):
             scale=tuple(self.scale), feat_size=self.feat_size,
             mean_size=self.mean_size, share_weights=self.share_weights,
             use_pallas=self.use_pallas, use_flash=self.use_flash,
-            batched_grad=self.batched_grad, remat=self.remat, dtype=dtype,
+            batched_grad=self.batched_grad, remat=self.remat,
+            sp_mesh=self.sp_mesh, dtype=dtype,
             name="box3d_decoder")(
             memory, camera_feature, T_camera_pseudoCam, T_world_pseudoCam,
             T_world_local, deterministic=deterministic)

@@ -23,6 +23,14 @@ replicated-q in_spec makes shard_map psum the per-shard dq cotangents.
 The merge arithmetic itself carries no gradient (fwd_lse is declared
 zero-grad), so nothing is double-counted.
 
+Three entry points mirror the single-device flash API so the decoder's
+batched-gradient machinery works sequence-parallel unchanged:
+  sp_flash_cross_attention            — differentiable attention
+  sp_flash_cross_attention_fwd_lse    — zero-grad (o, lse) for trajectory
+                                        passes (phase 1 of batched-grad)
+  sp_flash_cross_attention_precomputed — backward-only against stored
+                                        global (o, lse) (phase 2)
+
 Only the collectives touch the network: one pmax + two psums over
 (B, H, Q, 128)/(B, H, Q, D) — ~0.5 MB at release dims vs the 59 MB K/V
 that now never moves.
@@ -41,7 +49,7 @@ from .mesh import MODEL_AXIS
 # decorrelates the in-kernel dropout hash across shards: the kernel's mask
 # column index is shard-local, so identical seeds on every shard would draw
 # identical masks for different global columns
-_SHARD_SEED_STRIDE = np.int32(np.uint32(0x9E3779B1))  # golden-ratio odd constant
+_SHARD_SEED_STRIDE = np.int32(np.uint32(0x9E3779B1))  # golden-ratio odd
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -83,6 +91,27 @@ def _merge_partials(o_i, lse_i, axis: str):
     return o, lse
 
 
+def _prep_sp(q, k, v, mesh, axis, block_k, dropout_seed):
+    size = mesh.shape[axis]
+    B, H, Q, D = q.shape
+    N = k.shape[1]
+    assert k.ndim == 3 and k.shape[-1] == H * D and v.shape == k.shape, (
+        "SP path wants the zero-copy (B, N, H·D) K/V layout", k.shape)
+    assert N % size == 0, f"N={N} not divisible by {axis}={size}"
+    n_local = N // size
+    block_k = min(block_k, max(8, -(-n_local // 8) * 8))
+    seeds = (None if dropout_seed is None
+             else jnp.asarray(dropout_seed).reshape(-1).astype(jnp.int32))
+    return size, n_local, block_k, seeds
+
+
+def _local_seed(seed_args, axis):
+    if not seed_args:
+        return None
+    idx = jax.lax.axis_index(axis).astype(jnp.int32)
+    return seed_args[0] + idx * jnp.int32(_SHARD_SEED_STRIDE)
+
+
 def sp_flash_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                              *, mesh: Mesh, axis: str = MODEL_AXIS,
                              block_k: int = 1440,
@@ -109,31 +138,19 @@ def sp_flash_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         flash_cross_attention, flash_cross_attention_fwd_lse,
         flash_cross_attention_precomputed)
 
-    size = mesh.shape[axis]
+    size, n_local, block_k, seeds = _prep_sp(q, k, v, mesh, axis, block_k,
+                                             dropout_seed)
     if size == 1:
         return flash_cross_attention(
             q, k, v, block_k=block_k, n_valid=k.shape[1],
             dropout_rate=dropout_rate, dropout_seed=dropout_seed,
             q_tile=q_tile, interpret=interpret)
 
-    B, H, Q, D = q.shape
-    N = k.shape[1]
-    assert k.ndim == 3 and k.shape[-1] == H * D and v.shape == k.shape, (
-        "SP path wants the zero-copy (B, N, H·D) K/V layout", k.shape)
-    assert N % size == 0, f"N={N} not divisible by {axis}={size}"
-    n_local = N // size
-    seeds = (None if dropout_seed is None
-             else jnp.asarray(dropout_seed).reshape(-1).astype(jnp.int32))
-
     def body(q, k, v, *seed_args):
-        local_seed = None
-        if seed_args:
-            idx = jax.lax.axis_index(axis).astype(jnp.int32)
-            local_seed = seed_args[0] + idx * jnp.int32(_SHARD_SEED_STRIDE)
-        kwargs = dict(block_k=min(block_k, max(8, -(-n_local // 8) * 8)),
-                      n_valid=n_local, dropout_rate=dropout_rate,
-                      dropout_seed=local_seed, q_tile=q_tile,
-                      interpret=interpret)
+        kwargs = dict(block_k=block_k, n_valid=n_local,
+                      dropout_rate=dropout_rate,
+                      dropout_seed=_local_seed(seed_args, axis),
+                      q_tile=q_tile, interpret=interpret)
         o_i, lse_i = flash_cross_attention_fwd_lse(q, k, v, **kwargs)
         # the merge carries no gradient by construction (fwd_lse is a
         # declared-zero-grad op; real gradients flow through the
@@ -154,3 +171,81 @@ def sp_flash_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     fn = jax.shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=P(),
                        check_vma=False)
     return fn(q, k, v, *(() if seeds is None else (seeds,)))
+
+
+def sp_flash_cross_attention_fwd_lse(q, k, v, *, mesh: Mesh,
+                                     axis: str = MODEL_AXIS,
+                                     block_k: int = 1440,
+                                     dropout_rate: float = 0.0,
+                                     dropout_seed=None, q_tile: int = None,
+                                     interpret: bool = None):
+    """Sequence-parallel forward that also returns the GLOBAL rowwise
+    logsumexp — the SP mirror of `flash_cross_attention_fwd_lse` (zero
+    gradient by declaration; feeds stop-gradient trajectory passes whose
+    stored (o, lse) later drive `sp_flash_cross_attention_precomputed`)."""
+    from ..kernels.cross_attention_pallas import flash_cross_attention_fwd_lse
+
+    size, n_local, block_k, seeds = _prep_sp(q, k, v, mesh, axis, block_k,
+                                             dropout_seed)
+    if size == 1:
+        return flash_cross_attention_fwd_lse(
+            q, k, v, block_k=block_k, n_valid=k.shape[1],
+            dropout_rate=dropout_rate, dropout_seed=dropout_seed,
+            q_tile=q_tile, interpret=interpret)
+
+    def body(q, k, v, *seed_args):
+        o_i, lse_i = flash_cross_attention_fwd_lse(
+            q, k, v, block_k=block_k, n_valid=n_local,
+            dropout_rate=dropout_rate,
+            dropout_seed=_local_seed(seed_args, axis), q_tile=q_tile,
+            interpret=interpret)
+        # zero-grad by contract (mirrors the single-device fwd_lse); the
+        # stop_gradient also keeps reverse-mode tracing away from pmax,
+        # which has no differentiation rule
+        return _merge_partials(jax.lax.stop_gradient(o_i),
+                               jax.lax.stop_gradient(lse_i), axis)
+
+    kv_spec = P(None, axis, None)
+    in_specs = (P(), kv_spec, kv_spec) + ((P(),) if seeds is not None else ())
+    fn = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                       out_specs=(P(), P()), check_vma=False)
+    return fn(q, k, v, *(() if seeds is None else (seeds,)))
+
+
+def sp_flash_cross_attention_precomputed(q, k, v, o, lse, *, mesh: Mesh,
+                                         axis: str = MODEL_AXIS,
+                                         block_k: int = 1440,
+                                         dropout_rate: float = 0.0,
+                                         dropout_seed=None,
+                                         q_tile: int = None,
+                                         interpret: bool = None):
+    """Sequence-parallel flash attention whose forward kernel is SKIPPED:
+    (o, lse) are the GLOBAL merged results of an identical earlier
+    `sp_flash_cross_attention_fwd_lse` call (same q/k/v/seeds). The VJP
+    runs the flash backward per shard from the global (o, lse) — exact
+    dq/dk/dv, as in the single-device precomputed path."""
+    from ..kernels.cross_attention_pallas import (
+        flash_cross_attention_precomputed)
+
+    size, n_local, block_k, seeds = _prep_sp(q, k, v, mesh, axis, block_k,
+                                             dropout_seed)
+    if size == 1:
+        return flash_cross_attention_precomputed(
+            q, k, v, o, lse, block_k=block_k, n_valid=k.shape[1],
+            dropout_rate=dropout_rate, dropout_seed=dropout_seed,
+            q_tile=q_tile, interpret=interpret)
+
+    def body(q, k, v, o, lse, *seed_args):
+        out = flash_cross_attention_precomputed(
+            q, k, v, o, lse, block_k=block_k, n_valid=n_local,
+            dropout_rate=dropout_rate,
+            dropout_seed=_local_seed(seed_args, axis), q_tile=q_tile,
+            interpret=interpret)
+        return _scale_grad(out, float(size))
+
+    kv_spec = P(None, axis, None)
+    in_specs = (P(), kv_spec, kv_spec, P(), P()) \
+        + ((P(),) if seeds is not None else ())
+    fn = jax.shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=P(),
+                       check_vma=False)
+    return fn(q, k, v, o, lse, *(() if seeds is None else (seeds,)))

@@ -88,8 +88,6 @@ class Trainer:
         self.workdir = workdir or os.path.join(cfg.LOG_PATH, cfg.NAME)
         os.makedirs(self.workdir, exist_ok=True)
 
-        self.model = PARQModel.from_config(cfg, use_pallas=use_pallas)
-        self.loss_cfg = LossConfig.from_config(cfg)
         # DP axis must divide the per-step batch: clamp to the largest
         # divisor of BATCH_SIZE that fits the device count
         n_dev = len(jax.devices()) // max(cfg.TPU.MESH_MODEL, 1)
@@ -98,6 +96,14 @@ class Trainer:
         while data > 1 and bs % data != 0:
             data -= 1
         self.mesh = make_mesh(data=data, model=cfg.TPU.MESH_MODEL)
+
+        # TPU.SEQ_PARALLEL: shard the decoder's memory tokens + K/V over
+        # the model axis (sequence parallelism, parallel/seq_parallel.py)
+        sp_mesh = (self.mesh if bool(getattr(cfg.TPU, "SEQ_PARALLEL", False))
+                   and self.mesh.shape["model"] > 1 else None)
+        self.model = PARQModel.from_config(cfg, use_pallas=use_pallas,
+                                           sp_mesh=sp_mesh)
+        self.loss_cfg = LossConfig.from_config(cfg)
 
         self.train_step_fn = make_jitted_train_step(
             self.loss_cfg, donate=bool(cfg.TPU.DONATE_TRAIN_STATE))

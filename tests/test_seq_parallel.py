@@ -127,6 +127,54 @@ def test_sp_dropout_decorrelates_shards(rng):
     np.testing.assert_array_equal(np.asarray(o), np.asarray(o2))
 
 
+def test_sp_fwd_lse_matches_single_device(rng):
+    """Merged global (o, lse) == the single-device kernel's (o, lse)."""
+    from parq_tpu.kernels.cross_attention_pallas import (
+        flash_cross_attention_fwd_lse)
+    from parq_tpu.parallel import sp_flash_cross_attention_fwd_lse
+    n = 256
+    mesh = make_mesh(data=4, model=2)
+    q, k, v = _qkv(rng, n)
+    want_o, want_lse = flash_cross_attention_fwd_lse(
+        q, k, v, n_valid=n, block_k=128, interpret=True)
+    got_o, got_lse = sp_flash_cross_attention_fwd_lse(
+        q, k, v, mesh=mesh, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_o), np.asarray(want_o),
+                               rtol=0, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(got_lse), np.asarray(want_lse),
+                               rtol=0, atol=2e-6)
+
+
+def test_sp_precomputed_phase_pair_gradients(rng):
+    """The batched-grad usage: phase 1 stores SP-merged (o, lse); phase 2
+    drives sp_flash_cross_attention_precomputed — gradients must equal the
+    XLA attention reference."""
+    from parq_tpu.parallel import (sp_flash_cross_attention_fwd_lse,
+                                   sp_flash_cross_attention_precomputed)
+    n = 256
+    mesh = make_mesh(data=4, model=2)
+    q, k, v = _qkv(rng, n)
+    g = jnp.asarray(rng.randn(B, H, Q, D).astype(np.float32))
+    o_s, lse_s = sp_flash_cross_attention_fwd_lse(
+        q, k, v, mesh=mesh, block_k=128, interpret=True)
+    o_s = jax.lax.stop_gradient(o_s)
+    lse_s = jax.lax.stop_gradient(lse_s)
+
+    def loss_sp(q, k, v):
+        o = sp_flash_cross_attention_precomputed(
+            q, k, v, o_s, lse_s, mesh=mesh, block_k=64, interpret=True)
+        return jnp.vdot(o, g)
+
+    def loss_ref(q, k, v):
+        return jnp.vdot(_xla_attention(q, k, v), g)
+
+    got = jax.grad(loss_sp, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0,
+                                   atol=5e-5, err_msg=f"d{name}")
+
+
 def test_sp_size_one_degrades_to_plain_kernel(rng):
     n = 256
     mesh = make_mesh(data=8, model=1)
@@ -136,3 +184,93 @@ def test_sp_size_one_degrades_to_plain_kernel(rng):
     got = sp_flash_cross_attention(q, k, v, mesh=mesh, block_k=128,
                                    interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+# ---- full-decoder integration (TPU.SEQ_PARALLEL) ----
+
+_B, _T, _Hm, _Wm, _C = 2, 2, 4, 8, 256   # N = T·H·W = 64 tokens
+_L, _Q = 3, 8
+
+
+def _scene(rng):
+    from parq_tpu.geometry import Camera, Pose
+    mem = jnp.asarray(rng.randn(_B, _T, _Hm, _Wm, _C).astype(np.float32))
+    cam = Camera(jnp.broadcast_to(
+        Camera.from_params(float(_Wm), float(_Hm), 4.0, 4.0,
+                           _Wm / 2, _Hm / 2).data, (_B, _T, 6)))
+    eye = jnp.concatenate([jnp.eye(3).reshape(9), jnp.zeros(3)])
+    Tcp = Pose(jnp.broadcast_to(eye, (_B, _T, 12)))
+    Twp = Pose(jnp.broadcast_to(eye, (_B, _T, 12)))
+    Twl = Pose(jnp.broadcast_to(eye, (_B, 1, 12)))
+    return mem, cam, Tcp, Twp, Twl
+
+
+def _decoder(sp_mesh, rate=0.0):
+    from parq_tpu.models.decoder import PARQDecoder
+    return PARQDecoder(dim=_C, heads=2, ffn_dim=16, num_layers=_L,
+                       dropout_rate=rate, num_queries=_Q, num_semcls=3,
+                       feat_size=(_Wm, _Hm), use_flash=True,
+                       force_kernels=True, sp_mesh=sp_mesh)
+
+
+def test_decoder_sp_eval_matches_single_device(rng):
+    """PARQDecoder with sp_mesh (memory tokens sharded over model=2) ==
+    the single-device flash decoder, deterministic path."""
+    scene = _scene(rng)
+    mesh = make_mesh(data=4, model=2)
+    m_ref, m_sp = _decoder(None), _decoder(mesh)
+    params = m_ref.init(jax.random.PRNGKey(0), *scene, deterministic=True)
+    o1 = m_ref.apply(params, *scene, deterministic=True)
+    o2 = m_sp.apply(params, *scene, deterministic=True)
+    for k in o1:
+        np.testing.assert_allclose(np.asarray(o1[k], np.float32),
+                                   np.asarray(o2[k], np.float32),
+                                   atol=2e-4, err_msg=k)
+
+
+def test_decoder_sp_training_gradients_match(rng):
+    """SP training path (batched-grad phases run the SP fwd_lse +
+    precomputed variants) — outputs and parameter gradients == the
+    single-device decoder (dropout off: SP draws different masks by
+    design)."""
+    scene = _scene(rng)
+    mesh = make_mesh(data=4, model=2)
+    m_ref, m_sp = _decoder(None), _decoder(mesh)
+    params = m_ref.init(jax.random.PRNGKey(0), *scene, deterministic=False)
+
+    def loss(m, p):
+        out = m.apply(p, *scene, deterministic=False)
+        return sum(jnp.sum(out[k] ** 2) for k in
+                   ("pred_logits", "center_unnormalized", "ortho6d",
+                    "size_unnormalized"))
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(m_ref, p))(params)
+    l2, g2 = jax.value_and_grad(lambda p: loss(m_sp, p))(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(g1),
+                            jax.tree_util.tree_leaves(g2)):
+        na = float(jnp.linalg.norm(a))
+        nd = float(jnp.linalg.norm(a - b))
+        assert nd <= 2e-4 * max(na, 1.0) + 1e-3, \
+            f"{jax.tree_util.keystr(path)}: |Δ|={nd} vs |g|={na}"
+
+
+def test_decoder_sp_dropout_runs_finite(rng):
+    """SP + in-kernel dropout (per-shard decorrelated seeds) through the
+    full decoder training path: finite outputs and gradients."""
+    scene = _scene(rng)
+    mesh = make_mesh(data=4, model=2)
+    m = _decoder(mesh, rate=0.3)
+    key = jax.random.PRNGKey(3)
+    params = m.init({"params": jax.random.PRNGKey(0), "dropout": key},
+                    *scene, deterministic=False)
+
+    def loss(p):
+        out = m.apply(p, *scene, deterministic=False,
+                      rngs={"dropout": key})
+        return jnp.sum(out["pred_logits"] ** 2)
+
+    l, g = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(l))
+    assert all(np.all(np.isfinite(np.asarray(x)))
+               for x in jax.tree_util.tree_leaves(g))
