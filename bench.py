@@ -143,6 +143,33 @@ def measure_train(step, state, batch, key, iters=10, warmup=1):
     return B * T * iters / dt
 
 
+def _preflight_device(timeout_s: int = 180) -> None:
+    """Fail fast if the TPU tunnel is unreachable.
+
+    jax.devices() on a dead axon tunnel blocks forever inside the C++
+    client — un-interruptible from Python — so probe it in a SUBPROCESS
+    with a timeout and exit(2) with a clear message instead of hanging
+    whatever harness invoked the bench. PARQ_SKIP_PREFLIGHT=1 skips."""
+    if os.environ.get("PARQ_SKIP_PREFLIGHT"):
+        return
+    import subprocess
+    import sys
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(f"bench preflight: jax.devices() unresponsive after "
+              f"{timeout_s}s — TPU tunnel down? aborting instead of "
+              "hanging", file=sys.stderr)
+        raise SystemExit(2)
+    if res.returncode != 0:
+        print("bench preflight: device probe failed:\n" + res.stderr,
+              file=sys.stderr)
+        raise SystemExit(2)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu-ref", action="store_true",
@@ -162,6 +189,9 @@ def main():
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     args = ap.parse_args()
+
+    if not args.cpu_ref:
+        _preflight_device()
 
     if args.cpu_ref:
         import jax
