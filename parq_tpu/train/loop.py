@@ -246,7 +246,8 @@ class Trainer:
         tx = make_optimizer(
             self.lr_schedule,
             grad_clip=self.cfg.TRAINER.GRADIENT_CLIP_VAL,
-            accumulate=self.cfg.TRAINER.ACCUMULATE_GRAD_BATCHES)
+            accumulate=self.cfg.TRAINER.ACCUMULATE_GRAD_BATCHES,
+            flat=bool(getattr(self.cfg.TPU, "FLAT_OPTIMIZER", False)))
         rng = jax.random.PRNGKey(self.cfg.SEED)
         batch = to_device_batch(example_batch)
         state = create_train_state(self.model, batch, tx, rng)
