@@ -21,4 +21,7 @@ timeout 3000 python bench.py --batch 1 --dtype float32 \
 # 5. train decomposition for the tail bucketing
 timeout 3000 python scripts/bench_train_parts.py \
                                            2>&1 | tee /tmp/bench_r3/train_parts.log
+# 6. flat-optimizer A/B on train (TPU.FLAT_OPTIMIZER candidate)
+timeout 3000 python bench.py --train --flat-opt \
+                                           2>&1 | tee /tmp/bench_r3/train_flatopt.log
 echo DONE
