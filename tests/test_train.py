@@ -226,3 +226,40 @@ def test_flat_optimizer_full_train_step(overfit_setup):
             first = float(metrics["total_loss"])
     last = float(metrics["total_loss"])
     assert np.isfinite(last) and last < first, (first, last)
+
+
+def test_gradient_accumulation_matches_mean_grad():
+    """TRAINER.ACCUMULATE_GRAD_BATCHES (optax.MultiSteps): k micro-steps
+    accumulate the MEAN gradient and apply ONE optimizer update — identical
+    params to a single update with the averaged gradient (the semantics
+    Lightning gives the reference's accumulate_grad_batches)."""
+    from parq_tpu.train.train_step import make_optimizer
+    rng = np.random.RandomState(3)
+    params = {"w": jnp.asarray(rng.randn(8, 8), jnp.float32),
+              "b": jnp.asarray(rng.randn(8), jnp.float32)}
+    g1 = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.randn(*p.shape) * 1e-3, jnp.float32),
+        params)
+    g2 = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(rng.randn(*p.shape) * 1e-3, jnp.float32),
+        params)
+
+    tx_acc = make_optimizer(lambda s: 1e-3, grad_clip=1.0, accumulate=2)
+    s = tx_acc.init(params)
+    u1, s = tx_acc.update(g1, s, params)
+    # micro-step 1: accumulation only — zero update, params unchanged
+    assert all(float(jnp.abs(u).max()) == 0.0
+               for u in jax.tree_util.tree_leaves(u1))
+    u2, s = tx_acc.update(g2, s, params)
+    p_acc = jax.tree_util.tree_map(lambda p, u: p + u, params, u2)
+
+    tx_one = make_optimizer(lambda s: 1e-3, grad_clip=1.0)
+    s1 = tx_one.init(params)
+    g_mean = jax.tree_util.tree_map(lambda a, b: (a + b) / 2.0, g1, g2)
+    u, _ = tx_one.update(g_mean, s1, params)
+    p_one = jax.tree_util.tree_map(lambda p, du: p + du, params, u)
+
+    for a, b in zip(jax.tree_util.tree_leaves(p_acc),
+                    jax.tree_util.tree_leaves(p_one)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-7)
