@@ -55,3 +55,24 @@ def test_shipped_yamls_pass_check(tmp_path):
         cfg = get_cfg()
         args = argparse.Namespace(cfg=path, opts=None)
         update_config(cfg, args)  # must not raise
+
+
+def test_apply_platform_env_wins_over_config(monkeypatch):
+    """PARQ_PLATFORM env overrides TPU.PLATFORM; both fall through to a
+    jax.config platform update (the site hook pins JAX_PLATFORMS, so the
+    switch must be in-process)."""
+    import jax
+    from parq_tpu.config import apply_platform, get_cfg
+    cfg = get_cfg()
+    cfg.defrost()
+    cfg.TPU.PLATFORM = "bogus-platform"
+    cfg.freeze()
+    # env wins: "cpu" is applied (tests already run on cpu — harmless)
+    monkeypatch.setenv("PARQ_PLATFORM", "cpu")
+    apply_platform(cfg)
+    assert jax.config.jax_platforms == "cpu"
+    # empty platform: no-op (config value untouched)
+    cfg2 = get_cfg()
+    monkeypatch.delenv("PARQ_PLATFORM", raising=False)
+    apply_platform(cfg2)
+    assert jax.config.jax_platforms == "cpu"
