@@ -24,4 +24,7 @@ timeout 3000 python scripts/bench_train_parts.py \
 # 6. flat-optimizer A/B on train (TPU.FLAT_OPTIMIZER candidate)
 timeout 3000 python bench.py --train --flat-opt \
                                            2>&1 | tee /tmp/bench_r3/train_flatopt.log
+# 7. matmul-form FPN resize A/B on eval (concat layout-copy candidate)
+PARQ_FPN_MM_RESIZE=1 timeout 3000 python bench.py \
+                                           2>&1 | tee /tmp/bench_r3/eval_mmresize.log
 echo DONE
