@@ -404,10 +404,26 @@ class Trainer:
         rng = jax.random.PRNGKey(0)
         times = []
         total_loss, count = 0.0, 0
-        for i, batch in enumerate(loader):
+        # always evaluate from the START of the val set: an early break at
+        # `limit` abandons the loader mid-epoch and SnippetLoader.position
+        # would otherwise persist — successive mid-training validations
+        # would then score DIFFERENT val subsets, making the top-k
+        # checkpoint monitor compare incomparable F1s (Lightning restarts
+        # the val dataloader per validation run)
+        if hasattr(loader, "position"):
+            loader.position = 0
+        if timing:
+            # per-snippet latency protocol (ref: eval.py:45-51): strictly
+            # one batch at a time, H2D immediately before its own step
+            stream = ((b, to_device_batch(b, self.mesh)) for b in loader)
+        else:
+            # training-time validation: overlap the next batch's H2D with
+            # the current eval step (same double buffer as the train loop)
+            stream = ((h, d) for h, d, _ in
+                      device_prefetch(loader, self.mesh))
+        for i, (batch, dev_batch) in enumerate(stream):
             if i >= limit > 0:
                 break
-            dev_batch = to_device_batch(batch, self.mesh)
             t0 = time.perf_counter()
             losses, outputs = self.eval_step_fn(self.state, dev_batch, rng)
             last = {k: v[-1] for k, v in outputs.items()}

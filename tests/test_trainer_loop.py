@@ -129,3 +129,28 @@ def test_seed_determinism(smoke_cfg):
     for a, b in zip(jax.tree_util.tree_leaves(p1),
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_limited_validate_scores_same_subset_every_run(smoke_cfg):
+    """validate(limit_batches<full) must restart the val loader each run —
+    otherwise successive mid-training validations rotate through the val
+    set and the top-k checkpoint monitor compares F1 on different data
+    (Lightning restarts the val dataloader per run)."""
+    from parq_tpu.data.scannet import SnippetLoader
+    from parq_tpu.data.synthetic import SyntheticDataset
+    from parq_tpu.train.loop import Trainer
+
+    val = SnippetLoader(
+        SyntheticDataset(8, image_size=tuple(smoke_cfg.TPU.IMAGE_SIZE),
+                         seed=100),
+        batch_size=2, shuffle=False, drop_last=False, seed=0)
+    trainer = Trainer(smoke_cfg)
+    first = next(iter(val))
+    val.position = 0
+    trainer.setup_state(first, steps_per_epoch=1)
+
+    m1 = trainer.validate(val, limit_batches=2, verbose=False)
+    m2 = trainer.validate(val, limit_batches=2, verbose=False)
+    # identical params + identical (restarted) subset → identical loss
+    np.testing.assert_allclose(m1["total_loss"], m2["total_loss"],
+                               rtol=0, atol=0)
