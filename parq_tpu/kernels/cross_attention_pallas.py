@@ -577,6 +577,7 @@ def flash_cross_attention_precomputed(q, k, v, o, lse, *,
 def flash_cross_attention_kv_fused(q: jnp.ndarray, kv: jnp.ndarray, *,
                                    block_k: int = 1920,
                                    n_valid: int = None,
+                                   want_lse: bool = False,
                                    interpret: bool = None) -> jnp.ndarray:
     """Forward-only flash attention over a FUSED (B, N, H·2D) K/V buffer —
     the natural output of projecting K and V in one matmul with
@@ -587,7 +588,10 @@ def flash_cross_attention_kv_fused(q: jnp.ndarray, kv: jnp.ndarray, *,
 
     Inference path only (deterministic, NOT differentiable — a VJP would
     have to hand back a fused dKV cotangent, whose assembly costs more than
-    the fused forward saves; training keeps separate K/V projections)."""
+    the fused forward saves; training keeps separate K/V projections).
+
+    `want_lse=True` also returns the rowwise logsumexp (B, H, Q, 128) f32
+    — the residual the sequence-parallel merge needs."""
     B, H, Q, D = q.shape
     assert kv.ndim == 3 and kv.shape[-1] == 2 * H * D, (q.shape, kv.shape)
     N = kv.shape[1]
@@ -596,9 +600,9 @@ def flash_cross_attention_kv_fused(q: jnp.ndarray, kv: jnp.ndarray, *,
         interpret = jax.default_backend() != "tpu"
     block_k = min(block_k, max(8, -(-N // 8) * 8))
     seed = jnp.zeros((1,), jnp.int32)
-    o, _ = _fwd_call(q, kv, kv, seed, block_k, n_valid, 0.0, None,
-                     bool(interpret), want_lse=False, kv_fused=True)
-    return o
+    o, lse = _fwd_call(q, kv, kv, seed, block_k, n_valid, 0.0, None,
+                       bool(interpret), want_lse=want_lse, kv_fused=True)
+    return (o, lse) if want_lse else o
 
 
 def flash_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

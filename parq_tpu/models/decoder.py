@@ -303,6 +303,7 @@ class DecoderLayer(nn.Module):
                 from ..parallel.seq_parallel import (
                     sp_flash_cross_attention,
                     sp_flash_cross_attention_fwd_lse,
+                    sp_flash_cross_attention_kv_fused,
                     sp_flash_cross_attention_precomputed)
                 del kwargs["n_valid"]
                 kwargs["mesh"] = self.sp_mesh
@@ -313,9 +314,14 @@ class DecoderLayer(nn.Module):
                     sp_flash_cross_attention_precomputed
             if self.kv_fused:
                 assert det and precomputed is None and not aux_out
-                attn = flash_cross_attention_kv_fused(
-                    cq_h, k_mem.astype(cq.dtype),
-                    block_k=kwargs["block_k"], n_valid=self.kv_valid)
+                if self.sp_mesh is not None:
+                    attn = sp_flash_cross_attention_kv_fused(
+                        cq_h, k_mem.astype(cq.dtype), mesh=self.sp_mesh,
+                        block_k=kwargs["block_k"])
+                else:
+                    attn = flash_cross_attention_kv_fused(
+                        cq_h, k_mem.astype(cq.dtype),
+                        block_k=kwargs["block_k"], n_valid=self.kv_valid)
             elif precomputed is not None:
                 attn = flash_cross_attention_precomputed(
                     cq_h, k_mem.astype(cq.dtype), v_mem.astype(cq.dtype),
@@ -607,8 +613,9 @@ class PARQDecoder(nn.Module):
         # Training keeps separate projections: the flash VJP would have to
         # hand back a fused dKV cotangent, whose assembly (~1.2ms of HBM
         # traffic at release shapes) cancels the fwd/dW savings.
-        # SP runs separate K/V too (the merge needs the lse kernel).
-        kv_fused = flash and deterministic and sp_mesh is None
+        # Under SP the fused buffer shards on its token axis and the SP
+        # fused kernel merges the partials (sp_flash_cross_attention_kv_fused).
+        kv_fused = flash and deterministic
         k_proj = FlatHeadDense(self.heads, head_dim, dtype=self.dtype,
                                in_features=Cm, name="cross_attn_key")
         v_proj = FlatHeadDense(self.heads, head_dim, dtype=self.dtype,

@@ -4,6 +4,7 @@ from .multihost import (host_shard_indices, initialize_distributed,
                         is_main_process)
 from .seq_parallel import (sp_flash_cross_attention,
                            sp_flash_cross_attention_fwd_lse,
+                           sp_flash_cross_attention_kv_fused,
                            sp_flash_cross_attention_precomputed)
 
 __all__ = ["DATA_AXIS", "MODEL_AXIS", "make_mesh", "batch_sharding",
@@ -11,4 +12,5 @@ __all__ = ["DATA_AXIS", "MODEL_AXIS", "make_mesh", "batch_sharding",
            "host_shard_indices", "initialize_distributed",
            "is_main_process", "sp_flash_cross_attention",
            "sp_flash_cross_attention_fwd_lse",
+           "sp_flash_cross_attention_kv_fused",
            "sp_flash_cross_attention_precomputed"]

@@ -212,6 +212,42 @@ def sp_flash_cross_attention_fwd_lse(q, k, v, *, mesh: Mesh,
     return fn(q, k, v, *(() if seeds is None else (seeds,)))
 
 
+def sp_flash_cross_attention_kv_fused(q: jnp.ndarray, kv: jnp.ndarray, *,
+                                      mesh: Mesh, axis: str = MODEL_AXIS,
+                                      block_k: int = 1920,
+                                      interpret: bool = None) -> jnp.ndarray:
+    """Sequence-parallel flash attention over the FUSED head-interleaved
+    (B, N, H·2D) K/V buffer, sharded on the token axis — the multi-chip
+    serving path keeps the single-projection-matmul + one-DMA-per-head
+    layout AND shards the tokens. Inference only (like the single-device
+    kv_fused entry)."""
+    from ..kernels.cross_attention_pallas import (
+        flash_cross_attention_kv_fused)
+
+    size = mesh.shape[axis]
+    B, H, Q, D = q.shape
+    N = kv.shape[1]
+    assert kv.ndim == 3 and kv.shape[-1] == 2 * H * D, (q.shape, kv.shape)
+    if size == 1:
+        return flash_cross_attention_kv_fused(q, kv, block_k=block_k,
+                                              n_valid=N, interpret=interpret)
+    assert N % size == 0, f"N={N} not divisible by {axis}={size}"
+    n_local = N // size
+    bk = min(block_k, max(8, -(-n_local // 8) * 8))
+
+    def body(q, kv):
+        o_i, lse_i = flash_cross_attention_kv_fused(
+            q, kv, block_k=bk, n_valid=n_local, want_lse=True,
+            interpret=interpret)
+        o_g, _ = _merge_partials(o_i, lse_i, axis)
+        return o_g
+
+    fn = jax.shard_map(body, mesh=mesh,
+                       in_specs=(P(), P(None, axis, None)), out_specs=P(),
+                       check_vma=False)
+    return fn(q, kv)
+
+
 def sp_flash_cross_attention_precomputed(q, k, v, o, lse, *, mesh: Mesh,
                                          axis: str = MODEL_AXIS,
                                          block_k: int = 1440,

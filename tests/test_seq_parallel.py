@@ -186,6 +186,23 @@ def test_sp_size_one_degrades_to_plain_kernel(rng):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_sp_kv_fused_matches_separate(rng):
+    """SP over the FUSED head-interleaved (B, N, H·2D) buffer == the SP
+    separate-K/V call == the single-device kernel."""
+    from parq_tpu.parallel import sp_flash_cross_attention_kv_fused
+    n = 144  # per-shard 72: partial last block masked locally
+    mesh = make_mesh(data=4, model=2)
+    q, k, v = _qkv(rng, n)
+    kv = jnp.stack([k.reshape(B, n, H, D), v.reshape(B, n, H, D)],
+                   axis=3).reshape(B, n, 2 * H * D)
+    want = flash_cross_attention(q, k, v, n_valid=n, block_k=64,
+                                 interpret=True)
+    got = sp_flash_cross_attention_kv_fused(q, kv, mesh=mesh, block_k=64,
+                                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=2e-6)
+
+
 # ---- full-decoder integration (TPU.SEQ_PARALLEL) ----
 
 _B, _T, _Hm, _Wm, _C = 2, 2, 4, 8, 256   # N = T·H·W = 64 tokens
