@@ -33,6 +33,7 @@ recomputes exactly the forward that produced the trajectory.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -713,6 +714,11 @@ class PARQDecoder(nn.Module):
         IterCls = nn.remat(DecoderIteration) if self.remat \
             else DecoderIteration
         if self.share_weights:
+            # PARQ_SCAN_UNROLL=N inlines N scan bodies per while-loop trip
+            # (N=L = fully unrolled): trades compile time for the loop's
+            # per-iteration overhead (condition, carry DUS stacking) and
+            # lets XLA fuse across iterations. A/B lever; default 1 (off).
+            unroll = int(os.environ.get("PARQ_SCAN_UNROLL", "1"))
             ScanIter = nn.scan(
                 IterCls,
                 variable_broadcast="params",
@@ -720,6 +726,7 @@ class PARQDecoder(nn.Module):
                 in_axes=(nn.broadcast, 0),
                 out_axes=0,
                 length=L,
+                unroll=max(1, min(unroll, L)),
             )
             _, outputs = ScanIter(name="iteration", **iter_kwargs)(
                 ref_points, inputs, keys[:, None] if use_keys else None)

@@ -27,4 +27,7 @@ timeout 3000 python bench.py --train --flat-opt \
 # 7. matmul-form FPN resize A/B on eval (concat layout-copy candidate)
 PARQ_FPN_MM_RESIZE=1 timeout 3000 python bench.py \
                                            2>&1 | tee /tmp/bench_r3/eval_mmresize.log
+# 8. fully-unrolled decoder scan A/B on eval (loop-overhead candidate)
+PARQ_SCAN_UNROLL=8 timeout 3000 python bench.py \
+                                           2>&1 | tee /tmp/bench_r3/eval_unroll.log
 echo DONE
