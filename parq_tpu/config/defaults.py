@@ -202,3 +202,15 @@ def check_config(cfg: CN) -> None:
             "explicitly")
     if int(t.CHECK_VAL_EVERY_N_EPOCH) < 1:
         raise ValueError("TRAINER.CHECK_VAL_EVERY_N_EPOCH must be >= 1")
+    if bool(cfg.TPU.SEQ_PARALLEL):
+        # SP shards memory tokens/KV over the model axis via the SP flash
+        # variants — it is meaningless without both; reject rather than
+        # silently running fully replicated.
+        if int(cfg.TPU.MESH_MODEL) <= 1:
+            raise ValueError(
+                "TPU.SEQ_PARALLEL requires TPU.MESH_MODEL > 1 (the token "
+                "axis shards over the model mesh axis)")
+        if not bool(cfg.TPU.USE_FLASH_CROSS_ATTN):
+            raise ValueError(
+                "TPU.SEQ_PARALLEL requires TPU.USE_FLASH_CROSS_ATTN: the "
+                "sharded attention runs only through the SP flash variants")

@@ -171,9 +171,11 @@ class F1Calculator:
         # (ref: f1_eval.py:364) to break IoU ties, which makes F1
         # run-to-run irreproducible. We keep the jitter (same magnitude,
         # same scalar-broadcast shape) but seed it from the corner content
-        # itself, so two validate() runs over the same data produce
-        # identical metrics regardless of call order (DIVERGENCES #7/#8
-        # seed policy).
+        # plus the box index, so two validate() runs over the same data
+        # produce identical metrics regardless of call order (DIVERGENCES
+        # #7/#8 seed policy). The index term matters: the jitter exists to
+        # break IoU ties, and two DUPLICATE gt boxes seeded on content
+        # alone would draw the same jitter and stay tied.
         import zlib
         out = []
         for gt in gt_list:
@@ -182,7 +184,8 @@ class F1Calculator:
             dets = []
             for j in range(corners.shape[0]):
                 c = np.ascontiguousarray(corners[j], dtype=np.float64)
-                rng = np.random.default_rng(zlib.crc32(c.tobytes()))
+                rng = np.random.default_rng(
+                    (zlib.crc32(c.tobytes()) << 16) ^ j)
                 dets.append([int(labels[j]),
                              c + rng.standard_normal(1) * 0.001, 1.0, -1])
             out.append(dets)

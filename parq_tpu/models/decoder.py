@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import functools
 import os
+import warnings
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -599,6 +600,15 @@ class PARQDecoder(nn.Module):
         # the exact XLA gather path)
         pallas_sampler = self.use_pallas and on_fast_path
         sp_mesh = self.sp_mesh if flash else None
+        if self.sp_mesh is not None and not flash:
+            # config requested SP but the runtime flash gate (TPU backend +
+            # bf16 + shape divisibility) failed: K/V will be fully
+            # replicated on every device — say so instead of silently
+            # ignoring the knob (check_config catches the static cases).
+            warnings.warn(
+                "TPU.SEQ_PARALLEL requested but the flash-attention gate "
+                f"is off (backend={jax.default_backend()}, dtype="
+                f"{self.dtype}); running UNSHARDED with replicated K/V")
         if sp_mesh is not None:
             # place the token axis shard-local BEFORE the K/V projections
             # so XLA computes them without gathering the 59MB K/V; the SP

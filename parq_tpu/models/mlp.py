@@ -206,7 +206,11 @@ class MLP2(nn.Module):
     encoder, ref: ray_positional_encoding.py:55-59, transformer_parq.py:176-180).
 
     `in_perm`: static permutation of the INPUT features, folded into the
-    first kernel (y = x[..., perm] @ W == x @ W[perm]) — callers that
+    first kernel: for a caller feeding x[..., perm] instead of x, gathering
+    the kernel ROWS with the SAME perm restores the original product —
+    x[..., perm] @ W[perm, :] == x @ W (each row of W meets its own input
+    feature exactly once; note x[..., perm] @ W == x @ W[inv_perm], NOT
+    W[perm], so don't "simplify" the take) — so callers that
     produce their features in a TPU-friendlier order than the checkpoint's
     weight convention (rayPE's channel-major ray samples) stay
     checkpoint-compatible for free. The param tree is unchanged.

@@ -397,8 +397,12 @@ class Trainer:
         calc = F1Calculator(cfg.MODEL.DECODER.CONF_THRESH,
                             num_semcls=cfg.MODEL.DECODER.NUM_SEMCLS)
         n_batches = len(loader)
+        # Lightning LIMIT_VAL_BATCHES semantics: float = fraction of the
+        # set (>0 runs at least one batch), int = batch count, 0/0.0 = run
+        # NO validation batches (not "unlimited").
         if isinstance(limit_batches, float) and limit_batches <= 1.0:
-            limit = int(n_batches * limit_batches)
+            limit = max(1, int(n_batches * limit_batches)) \
+                if limit_batches > 0 else 0
         else:
             limit = int(limit_batches)
         rng = jax.random.PRNGKey(0)
@@ -422,7 +426,7 @@ class Trainer:
             stream = ((h, d) for h, d, _ in
                       device_prefetch(loader, self.mesh))
         for i, (batch, dev_batch) in enumerate(stream):
-            if i >= limit > 0:
+            if i >= limit:
                 break
             t0 = time.perf_counter()
             losses, outputs = self.eval_step_fn(self.state, dev_batch, rng)

@@ -7,12 +7,15 @@ constants or passed as inputs — into a bytes artifact a serving binary
 reloads with `jax.export.deserialize` and calls without Python model code.
 
     python scripts/export_model.py --cfg configs/eval.yaml \
-        [--CHECKPOINT_PATH ckpt] --out parq_fwd.jaxexport [--batch 1]
+        --out parq_fwd.jaxexport [--batch 1]
 
 The artifact is platform-specific (lowered for the exporting machine's
 default backend); export on the target platform class (TPU for serving,
 CPU for tests). Params are passed as an input pytree so one artifact
-serves any checkpoint with the same structure.
+serves any checkpoint with the same structure — the artifact embeds NO
+weights (there is deliberately no --CHECKPOINT_PATH flag: a checkpoint
+cannot change the exported bytes; pair the artifact with a checkpoint at
+serving time, e.g. `scripts/serve.py --artifact ... --CHECKPOINT_PATH ...`).
 """
 import argparse
 import logging
@@ -63,7 +66,6 @@ def export_forward(cfg, batch_size: int = 1, checkpoint: str = None):
 def main():
     ap = argparse.ArgumentParser(description="Export PARQ-TPU forward")
     ap.add_argument("--cfg", required=True)
-    ap.add_argument("--CHECKPOINT_PATH", type=str, default=None)
     ap.add_argument("--out", required=True)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("opts", nargs=argparse.REMAINDER)
@@ -75,7 +77,7 @@ def main():
     logging.basicConfig(level=logging.INFO)
     apply_platform(cfg)
 
-    blob, _, _ = export_forward(cfg, args.batch, args.CHECKPOINT_PATH)
+    blob, _, _ = export_forward(cfg, args.batch)
     with open(args.out, "wb") as f:
         f.write(blob)
     print(f"exported {len(blob)} bytes -> {args.out}")

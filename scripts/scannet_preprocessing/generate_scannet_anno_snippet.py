@@ -135,8 +135,16 @@ def process_scene(scans_dir, anno_dir, out_dir, scene, variant, window,
                 dpath = _frame_file(scene_dir, "depth", fid, "depth.pgm")
                 if not os.path.exists(dpath):
                     dpath = os.path.join(scene_dir, "depth", f"{fid}.png")
-                pc = depth_to_point_cloud(read_depth(dpath), intr_depth)
-                counts.append(points_inside_corners(corners_cam, pc))
+                if os.path.exists(dpath):
+                    pc = depth_to_point_cloud(read_depth(dpath), intr_depth)
+                    counts.append(points_inside_corners(corners_cam, pc))
+                else:
+                    # pose exists but depth export is missing for this frame
+                    # (train-split overlap windows only require the pose):
+                    # assume visible rather than aborting the whole run
+                    print(f"WARNING {scene}: no depth for frame {fid}; "
+                          "assuming objects visible")
+                    counts.append(np.full(K, 10 ** 6))
             else:
                 counts.append(np.full(K, 10 ** 6))  # no depth → keep all
         # per-object visibility = BEST frame in the snippet (ref: :243-248)

@@ -174,13 +174,17 @@ class Handler(BaseHTTPRequestHandler):
             return
         try:
             n = int(self.headers.get("Content-Length", "0"))
-            arrays = dict(np.load(io.BytesIO(self.rfile.read(n)),
-                                  allow_pickle=False))
+            try:
+                arrays = dict(np.load(io.BytesIO(self.rfile.read(n)),
+                                      allow_pickle=False))
+            except Exception as e:  # malformed npz — the client's fault
+                raise ValueError(f"bad npz body: {type(e).__name__}: {e}")
             dets = self.server.engine.detect(arrays)
-        except ValueError as e:
+        except ValueError as e:      # client error (shape/key/body)
             self._send(400, {"error": str(e)})
-        except Exception as e:  # malformed npz etc.
-            self._send(400, {"error": f"{type(e).__name__}: {e}"})
+        except Exception as e:       # server-side failure (device, ckpt, …)
+            logging.exception("inference failed")
+            self._send(500, {"error": f"{type(e).__name__}: {e}"})
         else:
             self._send(200, {"detections": dets})
 
@@ -213,9 +217,16 @@ def main():
     from parq_tpu.config import apply_platform, get_cfg, update_config
     cfg = get_cfg()
     update_config(cfg, args)
+    if args.CHECKPOINT_PATH:  # flag shadows the cfg key, like eval.py
+        cfg.defrost(); cfg.CHECKPOINT_PATH = args.CHECKPOINT_PATH
+        cfg.freeze()
     apply_platform(cfg)
 
-    server = build_server(cfg, args.artifact, args.CHECKPOINT_PATH,
+    ckpt = cfg.CHECKPOINT_PATH or None
+    if not ckpt:
+        logging.warning("no CHECKPOINT_PATH (flag or config) — serving "
+                        "RANDOM-INIT weights; detections will be garbage")
+    server = build_server(cfg, args.artifact, ckpt,
                           args.batch, args.host, args.port)
     print(f"serving on http://{server.server_address[0]}:"
           f"{server.server_address[1]}  (POST /detect, GET /spec /healthz)")
