@@ -76,3 +76,26 @@ def test_apply_platform_env_wins_over_config(monkeypatch):
     monkeypatch.delenv("PARQ_PLATFORM", raising=False)
     apply_platform(cfg2)
     assert jax.config.jax_platforms == "cpu"
+
+
+def test_seq_parallel_requires_model_axis():
+    cfg = get_cfg()
+    cfg.TPU.SEQ_PARALLEL = True          # MESH_MODEL left at 1
+    with pytest.raises(ValueError, match="MESH_MODEL"):
+        check_config(cfg)
+
+
+def test_seq_parallel_requires_flash():
+    cfg = get_cfg()
+    cfg.TPU.SEQ_PARALLEL = True
+    cfg.TPU.MESH_MODEL = 2
+    cfg.TPU.USE_FLASH_CROSS_ATTN = False
+    with pytest.raises(ValueError, match="FLASH"):
+        check_config(cfg)
+
+
+def test_seq_parallel_valid_combo_passes():
+    cfg = get_cfg()
+    cfg.TPU.SEQ_PARALLEL = True
+    cfg.TPU.MESH_MODEL = 2
+    check_config(cfg)

@@ -154,3 +154,24 @@ def test_limited_validate_scores_same_subset_every_run(smoke_cfg):
     # identical params + identical (restarted) subset → identical loss
     np.testing.assert_allclose(m1["total_loss"], m2["total_loss"],
                                rtol=0, atol=0)
+
+
+def test_limit_val_batches_lightning_semantics(smoke_cfg):
+    """Lightning LIMIT_VAL_BATCHES: 0/0.0 runs NO validation batches
+    (not "unlimited"); a small positive fraction runs at least one."""
+    from parq_tpu.data.scannet import SnippetLoader
+    from parq_tpu.data.synthetic import SyntheticDataset
+    from parq_tpu.train.loop import Trainer
+
+    val = SnippetLoader(
+        SyntheticDataset(4, image_size=tuple(smoke_cfg.TPU.IMAGE_SIZE),
+                         seed=100),
+        batch_size=2, shuffle=False, drop_last=False, seed=0)
+    trainer = Trainer(smoke_cfg)
+    first = next(iter(val))
+    val.position = 0
+    trainer.setup_state(first, steps_per_epoch=1)
+
+    assert trainer.validate(val, limit_batches=0.0, verbose=False) == {}
+    m = trainer.validate(val, limit_batches=0.01, verbose=False)
+    assert "total_loss" in m  # fraction > 0 → at least one batch
