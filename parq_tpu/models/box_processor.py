@@ -22,23 +22,32 @@ CLASS2TYPE = {v: k for k, v in TYPE2CLASS.items()}
 
 
 def load_mean_size_table(mean_size_path: Optional[str], num_semcls: int = 9,
-                         ) -> np.ndarray:
+                         class2type: Optional[dict] = None) -> np.ndarray:
     """Parse data/average_scan2cad.txt into a (num_rows, 3) table.
 
     Row layout matches the reference exactly: matched classes in class-id
     order, then [1,1,1] rows for unmatched classes ("other") and background,
     so indexing by argmax class id (0..num_semcls) works
     (ref: utils/parq_utils.py:62-88).
+
+    `mean_size_path=None` is the explicit unit-size choice (e.g. smoke /
+    ARKitScenes-without-a-built-table configs). A path that is GIVEN but
+    missing is a hard error: size decode is `exp(size_scale) × mean_size`,
+    so silently substituting unit sizes invalidates every size-dependent
+    metric (r3 VERDICT Missing #2 / Weak #5).
     """
     if mean_size_path is None:
         return np.ones((num_semcls + 1, 3), np.float32)
     if not os.path.exists(mean_size_path):
-        # the mean-size table ships with the user's ScanNet/scan2cad data
-        # (see README); fall back to unit sizes so the model still runs
-        import warnings
-        warnings.warn(f"mean size table not found at {mean_size_path}; "
-                      "using unit sizes")
-        return np.ones((num_semcls + 1, 3), np.float32)
+        raise FileNotFoundError(
+            f"MODEL.DECODER.MEAN_SIZE_PATH points at '{mean_size_path}' "
+            "which does not exist. The per-class mean-size table is "
+            "protocol-defining (size = exp(size_scale) * mean_size[cls]); "
+            "running without it would produce wrong boxes. Ship "
+            "data/average_scan2cad.txt (bundled with this repo) or set "
+            "MEAN_SIZE_PATH explicitly to None to opt into unit sizes.")
+    if class2type is None:
+        class2type = CLASS2TYPE
 
     typelong = {}
     with open(mean_size_path) as f:
@@ -50,8 +59,9 @@ def load_mean_size_table(mean_size_path: Optional[str], num_semcls: int = 9,
             typelong[type_cat] = vals[:3]
 
     rows = []
+    saw_unmatched = False
     for i in range(num_semcls):
-        object_type = CLASS2TYPE.get(i, None)
+        object_type = class2type.get(i, None)
         matched = False
         if object_type is not None:
             for key, value in typelong.items():
@@ -61,7 +71,16 @@ def load_mean_size_table(mean_size_path: Optional[str], num_semcls: int = 9,
                     break
         # unmatched classes (e.g. "other") fall through — the reference
         # appends nothing for them, relying on the two [1,1,1] rows below.
-        del matched
+        # That layout is only index-correct when every unmatched class comes
+        # AFTER every matched one (true for ScanNet: only "other", id 8).
+        if matched and saw_unmatched:
+            raise ValueError(
+                f"mean-size table {mean_size_path}: class id {i} "
+                f"('{object_type}') matched after an earlier unmatched "
+                "class — row indices would be shifted (reference parser "
+                "layout, utils/parq_utils.py:62-88). Reorder the class map "
+                "so unmatched classes are last.")
+        saw_unmatched = saw_unmatched or not matched
     rows.append([1.0, 1.0, 1.0])  # "other"
     rows.append([1.0, 1.0, 1.0])  # background / non-object
     return np.asarray(rows, np.float32)

@@ -53,8 +53,13 @@ class PARQModel(nn.Module):
     def from_config(cls, cfg, use_pallas: bool = None,
                     sp_mesh=None) -> "PARQModel":
         m = cfg.MODEL
+        class2type = None
+        if str(cfg.DATAMODULE.DATASET).lower() == "arkitscenes":
+            from ..data.arkitscenes import ARKIT_CLASSES
+            class2type = dict(enumerate(ARKIT_CLASSES))
         mean = load_mean_size_table(m.DECODER.MEAN_SIZE_PATH,
-                                    m.DECODER.NUM_SEMCLS)
+                                    m.DECODER.NUM_SEMCLS,
+                                    class2type=class2type)
         if use_pallas is None:
             use_pallas = bool(cfg.TPU.USE_PALLAS_SAMPLER)
         compute_dtype = str(cfg.TPU.COMPUTE_DTYPE)
