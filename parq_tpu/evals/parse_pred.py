@@ -70,17 +70,17 @@ def parse_pred_device(last_out: Dict[str, jnp.ndarray],
     }
 
 
-def parse_pred(last_out: Dict[str, jnp.ndarray], T_world_local: jnp.ndarray,
-               track_scale: Sequence[float], num_semcls: int,
-               enable_nms: bool = True, for_vis: bool = False
-               ) -> Dict[str, np.ndarray]:
-    """Device parse + host NMS → numpy dict ready for F1Calculator.step.
+def finish_parse_pred(dev: Dict[str, jnp.ndarray], num_semcls: int,
+                      enable_nms: bool = True, for_vis: bool = False
+                      ) -> Dict[str, np.ndarray]:
+    """Host half of parse_pred: blocks on the device arrays, then runs the
+    greedy NMS. Split out so the eval loop can dispatch the NEXT batch's
+    device work before blocking here (validate() pipelining — the chip
+    computes batch i+1 while this runs batch i's host post-processing).
 
     NMS runs in the local frame on the reference's thresholds: 0.1
     class-agnostic for eval, 0.2 same-class for vis (ref: :417-421).
     """
-    dev = parse_pred_device(last_out, T_world_local, tuple(track_scale),
-                            for_vis)
     host = {k: np.asarray(v) for k, v in dev.items()}
     if enable_nms:
         if for_vis:
@@ -96,6 +96,17 @@ def parse_pred(last_out: Dict[str, jnp.ndarray], T_world_local: jnp.ndarray,
         host["pred_mask"] = host["valid"]
     host["pred_corners_world"] = host["corners_world"]
     return host
+
+
+def parse_pred(last_out: Dict[str, jnp.ndarray], T_world_local: jnp.ndarray,
+               track_scale: Sequence[float], num_semcls: int,
+               enable_nms: bool = True, for_vis: bool = False
+               ) -> Dict[str, np.ndarray]:
+    """Device parse + host NMS → numpy dict ready for F1Calculator.step."""
+    dev = parse_pred_device(last_out, T_world_local, tuple(track_scale),
+                            for_vis)
+    return finish_parse_pred(dev, num_semcls, enable_nms=enable_nms,
+                             for_vis=for_vis)
 
 
 def targets_to_gt_list(targets: Targets) -> List[Dict[str, np.ndarray]]:
