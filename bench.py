@@ -99,7 +99,7 @@ def measure(fwd, batch, iters: int = 30, warmup: int = 1) -> float:
     return B * T * iters / dt
 
 
-def build_train(batch_size: int, dtype: str, flat_opt: bool = False):
+def build_train(batch_size: int, dtype: str):
     import jax
     import dataclasses
     from __graft_entry__ import _batch, _flagship_model
@@ -108,7 +108,7 @@ def build_train(batch_size: int, dtype: str, flat_opt: bool = False):
     model = _flagship_model()
     model = dataclasses.replace(model, compute_dtype=dtype)
     batch = _batch(model, batch_size)
-    tx = make_optimizer(lambda s: 1e-4, grad_clip=1.0, flat=flat_opt)
+    tx = make_optimizer(lambda s: 1e-4, grad_clip=1.0)
     state = create_train_state(model, batch, tx, jax.random.PRNGKey(0))
     step = make_jitted_train_step(LossConfig(), donate=False)
     key = jax.random.PRNGKey(1)
@@ -188,9 +188,6 @@ def main():
                     help="deprecated no-op (the sampler is default on)")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
-    ap.add_argument("--flat-opt", action="store_true",
-                    help="train bench: the flat-buffer AdamW "
-                         "(TPU.FLAT_OPTIMIZER A/B)")
     args = ap.parse_args()
 
     if not args.cpu_ref:
@@ -205,16 +202,13 @@ def main():
         return
 
     if args.train:
-        step, state, batch, key = build_train(args.batch, args.dtype,
-                                              flat_opt=args.flat_opt)
+        step, state, batch, key = build_train(args.batch, args.dtype)
         fps = measure_train(step, state, batch, key, iters=args.iters)
         out = {
             "metric": "train_frames_per_sec_per_chip",
             "value": round(fps, 2),
             "unit": "frames/sec/chip",
         }
-        if args.flat_opt:
-            out["flat_opt"] = True
         print(json.dumps(out))
         return
 

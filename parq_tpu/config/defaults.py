@@ -128,7 +128,6 @@ _C.TPU.PARAM_DTYPE = "float32"
 _C.TPU.USE_PALLAS_SAMPLER = True   # fused matmul sampler (bf16 TPU path)
 _C.TPU.USE_FLASH_CROSS_ATTN = True  # fused cross-attn kernel (bf16 TPU path)
 _C.TPU.BATCHED_GRAD = True         # fold decoder iterations for the train backward
-_C.TPU.FLAT_OPTIMIZER = False      # clip+AdamW over one flat buffer (same math)
 _C.TPU.REMAT = False               # jax.checkpoint the decoder iteration
 _C.TPU.ASYNC_CHECKPOINTING = True
 _C.TPU.IMAGE_SIZE = [320, 240]     # static (W, H) model input

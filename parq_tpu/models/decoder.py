@@ -724,11 +724,11 @@ class PARQDecoder(nn.Module):
         IterCls = nn.remat(DecoderIteration) if self.remat \
             else DecoderIteration
         if self.share_weights:
-            # PARQ_SCAN_UNROLL=N inlines N scan bodies per while-loop trip
-            # (N=L = fully unrolled): trades compile time for the loop's
-            # per-iteration overhead (condition, carry DUS stacking) and
-            # lets XLA fuse across iterations. A/B lever; default 1 (off).
-            unroll = int(os.environ.get("PARQ_SCAN_UNROLL", "1"))
+            # unroll stays 1: full unroll (PARQ_SCAN_UNROLL=8) was A/B'd
+            # on-chip in r4 against the ~2ms loop/dispatch overhead and
+            # LOST, 930.3 vs 941.7 fps (bench_results/r4/eval_unroll.log) —
+            # XLA's while-loop body reuses its compiled schedule; inlining
+            # 8 bodies only grew the program.
             ScanIter = nn.scan(
                 IterCls,
                 variable_broadcast="params",
@@ -736,7 +736,7 @@ class PARQDecoder(nn.Module):
                 in_axes=(nn.broadcast, 0),
                 out_axes=0,
                 length=L,
-                unroll=max(1, min(unroll, L)),
+                unroll=1,
             )
             _, outputs = ScanIter(name="iteration", **iter_kwargs)(
                 ref_points, inputs, keys[:, None] if use_keys else None)

@@ -171,23 +171,17 @@ def fused_detection_heads(x: jnp.ndarray, center, rotation, semcls, size,
     h = nn.relu(_gn_pair(h, jnp.stack([c_hid[0][1], r_hid[0][1]]),
                          jnp.stack([c_hid[0][2], r_hid[0][2]]), n_groups))
 
-    # layer 2: block-diagonal (2D, 2D) keeps the (B, N, 2D) layout but
+    # layer 2: block-diagonal (2D, 2D) keeps the (B, N, 2D) layout; it
     # spends 2x the FLOPs on the zero blocks (~+206 GFLOP/train-step at
-    # release dims); "split" runs two lane-slice matmuls + a stack copy
-    # instead. Same values either way (the zero blocks add exact +0.0).
-    # Env knob for on-chip A/B without a code edit.
-    import os as _os
-    if _os.environ.get("PARQ_FUSED_HEADS_L2", "blockdiag") == "split":
-        hc = h[..., 0, :] @ c_hid[1][0].astype(dtype)
-        hr = h[..., 1, :] @ r_hid[1][0].astype(dtype)
-        h = jnp.stack([hc, hr], axis=2)                  # (B, N, 2, D)
-    else:
-        zc = jnp.zeros_like(c_hid[1][0])
-        w2 = jnp.concatenate(
-            [jnp.concatenate([c_hid[1][0], zc], axis=1),
-             jnp.concatenate([jnp.zeros_like(r_hid[1][0]), r_hid[1][0]],
-                             axis=1)], axis=0).astype(dtype)
-        h = (h.reshape(B, N, 2 * D) @ w2).reshape(B, N, 2, D)
+    # release dims) but beat the two-lane-slice-matmuls + stack-copy form
+    # in the r4 on-chip A/B (258.7 vs 255.3 train fps,
+    # bench_results/r4/train_l2split.log) — the zero blocks add exact +0.0.
+    zc = jnp.zeros_like(c_hid[1][0])
+    w2 = jnp.concatenate(
+        [jnp.concatenate([c_hid[1][0], zc], axis=1),
+         jnp.concatenate([jnp.zeros_like(r_hid[1][0]), r_hid[1][0]],
+                         axis=1)], axis=0).astype(dtype)
+    h = (h.reshape(B, N, 2 * D) @ w2).reshape(B, N, 2, D)
     h = nn.relu(_gn_pair(h, jnp.stack([c_hid[1][1], r_hid[1][1]]),
                          jnp.stack([c_hid[1][2], r_hid[1][2]]), n_groups))
 

@@ -191,40 +191,6 @@ class FPN(nn.Module):
         ]
 
 
-def _linear_resize_matrix(n_in: int, n_out: int) -> jnp.ndarray:
-    """(n_out, n_in) interpolation matrix for 1-D linear resize at
-    half-pixel centers (align_corners=False), edges clamped — the same
-    convention as jax.image.resize('linear') when upsampling (pinned by
-    tests/test_parity_backbone.py::test_mm_resize_matches_jax_image)."""
-    import numpy as np
-    src = (np.arange(n_out, dtype=np.float64) + 0.5) * (n_in / n_out) - 0.5
-    src = np.clip(src, 0.0, n_in - 1.0)
-    lo = np.floor(src).astype(np.int64)
-    hi = np.minimum(lo + 1, n_in - 1)
-    w_hi = (src - lo).astype(np.float32)
-    m = np.zeros((n_out, n_in), np.float32)
-    m[np.arange(n_out), lo] += 1.0 - w_hi
-    m[np.arange(n_out), hi] += w_hi
-    return jnp.asarray(m)
-
-
-def linear_resize_mm(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """Bilinear NHWC resize as two small matmuls (separable kernel):
-    out = M_h · x · M_wᵀ per channel. Runs on the MXU and lets XLA pick a
-    concat-friendly output layout — an A/B alternative to the gather-based
-    jax.image.resize in the FPN concat (env PARQ_FPN_MM_RESIZE=1), whose
-    output layout forced a ~1.4 ms copy pair at release dims."""
-    ih, iw = x.shape[1:3]
-    if (ih, iw) == (h, w):
-        return x
-    mh = _linear_resize_matrix(ih, h).astype(x.dtype)
-    mw = _linear_resize_matrix(iw, w).astype(x.dtype)
-    x = jnp.einsum("bhwc,Hh->bHwc", x, mh,
-                   precision=jax.lax.Precision.HIGHEST)
-    return jnp.einsum("bhwc,Ww->bhWc", x, mw,
-                      precision=jax.lax.Precision.HIGHEST)
-
-
 class ResNetFPN(nn.Module):
     """Full backbone: normalize → ResNet → FPN → concat-to-1024 at level 0.
 
@@ -251,17 +217,14 @@ class ResNetFPN(nn.Module):
 
         # resize all levels to the target level and concat (ref: :73-80);
         # F.interpolate(mode='bilinear') default align_corners=False ==
-        # jax.image.resize 'linear' (half-pixel centers).
-        # PARQ_FPN_MM_RESIZE=1: the separable-matmul form (same math; MXU
-        # instead of gathers — on-chip A/B lever for the concat's layout
-        # copy pair)
-        import os
-        mm = bool(os.environ.get("PARQ_FPN_MM_RESIZE"))
+        # jax.image.resize 'linear' (half-pixel centers). [A separable-
+        # matmul resize (PARQ_FPN_MM_RESIZE) was A/B'd on-chip in r4 to
+        # attack the concat's 1.4ms layout-copy pair and LOST, 930.6 vs
+        # 941.7 fps — bench_results/r4/eval_mmresize.log — so gathers stay.]
         th, tw = pyr[self.layer].shape[1:3]
         resized = [
-            (linear_resize_mm(p, th, tw) if mm else
-             jax.image.resize(p, (p.shape[0], th, tw, p.shape[3]),
-                              method="linear"))
+            jax.image.resize(p, (p.shape[0], th, tw, p.shape[3]),
+                             method="linear")
             if p.shape[1:3] != (th, tw) else p
             for p in pyr[:4]
         ]

@@ -40,71 +40,26 @@ class TrainState(struct.PyTreeNode):
                             opt_state=new_opt)
 
 
-class FlatAdamWState(struct.PyTreeNode):
-    count: jnp.ndarray
-    mu: jnp.ndarray      # first moment, one flat f32 buffer
-    nu: jnp.ndarray      # second moment, one flat f32 buffer
-
-
-def flat_adamw(lr_schedule, grad_clip: float = 1.0, b1: float = 0.9,
-               b2: float = 0.999, eps: float = 1e-8,
-               weight_decay: float = 0.01) -> optax.GradientTransformation:
-    """clip-by-global-norm + AdamW over ONE flattened parameter buffer.
-
-    Same math as optax.chain(clip_by_global_norm, adamw) — pinned by
-    tests/test_train.py::test_flat_adamw_matches_optax — but the moment/
-    clip/update arithmetic runs as a handful of big fused elementwise ops
-    over a single (P,) vector instead of ~8 tiny ops × ~200 leaves (the
-    per-leaf chains are part of the train step's sub-1ms-fusion tail; XLA
-    cannot fuse across leaves). Costs one ravel of the grads and params and
-    one unravel of the update (~3 extra HBM passes over the ~240MB params)
-    against ~1600 kernel launches saved. TPU.FLAT_OPTIMIZER selects it."""
-    from jax.flatten_util import ravel_pytree
-
-    def init(params):
-        flat, _ = ravel_pytree(params)
-        return FlatAdamWState(count=jnp.zeros((), jnp.int32),
-                              mu=jnp.zeros_like(flat),
-                              nu=jnp.zeros_like(flat))
-
-    def update(grads, state, params):
-        g, unravel = ravel_pytree(grads)
-        p, _ = ravel_pytree(params)
-        # optax.clip_by_global_norm: scale by clip/norm only when above
-        g_norm = jnp.sqrt(jnp.sum(g * g))
-        g = g * jnp.minimum(1.0, grad_clip / jnp.maximum(g_norm, 1e-30))
-        count = state.count + 1
-        mu = b1 * state.mu + (1.0 - b1) * g
-        nu = b2 * state.nu + (1.0 - b2) * (g * g)
-        cf = count.astype(jnp.float32)
-        mu_hat = mu / (1.0 - b1 ** cf)
-        nu_hat = nu / (1.0 - b2 ** cf)
-        # optax.scale_by_schedule reads its (pre-increment) own count
-        lr = lr_schedule(state.count)
-        upd = -lr * (mu_hat / (jnp.sqrt(nu_hat) + eps) + weight_decay * p)
-        return unravel(upd), FlatAdamWState(count=count, mu=mu, nu=nu)
-
-    return optax.GradientTransformation(init, update)
-
-
 def make_optimizer(lr_schedule, grad_clip: float = 1.0,
                    weight_decay: float = 0.01,
-                   accumulate: int = 1,
-                   flat: bool = False) -> optax.GradientTransformation:
+                   accumulate: int = 1) -> optax.GradientTransformation:
     """AdamW (torch defaults: β=(0.9,0.999), eps=1e-8, wd=0.01 — the
     reference relies on torch defaults, parq_lightning.py:167-170) with
     global-norm clip (ref: train.py:113 gradient_clip_val=1.0) and optional
     gradient accumulation (ref: TRAINER.ACCUMULATE_GRAD_BATCHES).
-    `flat=True` runs the same math over one flattened buffer (flat_adamw)."""
-    if flat:
-        tx = flat_adamw(lr_schedule, grad_clip=grad_clip,
-                        weight_decay=weight_decay)
-    else:
-        tx = optax.chain(
-            optax.clip_by_global_norm(grad_clip),
-            optax.adamw(lr_schedule, b1=0.9, b2=0.999, eps=1e-8,
-                        weight_decay=weight_decay),
-        )
+
+    [A flat-buffer AdamW (ravel_pytree → one fused moment/clip/update over a
+    single (P,) vector) was built to attack the per-leaf optimizer chains in
+    the train step's sub-1ms-fusion tail and LOST its r4 on-chip A/B
+    decisively: 221.5 vs 258.7 train fps (bench_results/r4/train_flatopt.log)
+    — the 3 extra HBM passes over ~240MB of params/grads cost far more than
+    the fusion saved; XLA already keeps per-leaf chains cheap. Dead end — do
+    not rebuild.]"""
+    tx = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(lr_schedule, b1=0.9, b2=0.999, eps=1e-8,
+                    weight_decay=weight_decay),
+    )
     if accumulate > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate)
     return tx

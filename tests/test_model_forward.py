@@ -76,30 +76,6 @@ def test_scan_equals_unrolled_shared_weights():
                                    err_msg=k)
 
 
-def test_scan_unroll_lever_bit_identical(monkeypatch):
-    """PARQ_SCAN_UNROLL=N (lax.scan unroll) is a pure scheduling lever:
-    outputs — eval AND training-mode with dropout (per-iteration keys ride
-    the scan xs, so draws must not depend on the unroll factor) — are
-    bit-identical to the default scan."""
-    model = tiny_model(dec_layers=3, share_weights=True, dropout_rate=0.1)
-    batch = tiny_batch(B=1)
-    params = model.init(jax.random.PRNGKey(0), batch)
-    key = jax.random.PRNGKey(7)
-
-    def run():
-        ev = model.apply(params, batch, deterministic=True)
-        tr = model.apply(params, batch, deterministic=False,
-                         rngs={"dropout": key})
-        return ev, tr
-
-    base_ev, base_tr = run()
-    monkeypatch.setenv("PARQ_SCAN_UNROLL", "3")
-    un_ev, un_tr = run()
-    for a, b in ((base_ev, un_ev), (base_tr, un_tr)):
-        for k in a:
-            assert np.array_equal(np.asarray(a[k]), np.asarray(b[k])), k
-
-
 def test_dropout_rng_changes_output():
     model = tiny_model(dropout_rate=0.5)
     batch = tiny_batch(B=1)

@@ -296,21 +296,3 @@ def test_ray_pe_matches_torch_oracle(rng):
         Pose(jnp.asarray(Twp)), Pose(jnp.asarray(Twl))))
 
     np.testing.assert_allclose(got, expect, atol=1e-4)
-
-
-def test_mm_resize_matches_jax_image():
-    """The separable-matmul bilinear resize == jax.image.resize('linear')
-    at the exact FPN level shapes of the release resolution (80x60 target;
-    40x30, 20x15, 10x8 sources) and an odd non-integer-scale case."""
-    import jax
-    import jax.numpy as jnp
-    from parq_tpu.models.resnet_fpn import linear_resize_mm
-
-    rng = np.random.RandomState(11)
-    for ih, iw in [(30, 40), (15, 20), (8, 10), (7, 9)]:
-        x = jnp.asarray(rng.randn(2, ih, iw, 16).astype(np.float32))
-        want = jax.image.resize(x, (2, 60, 80, 16), method="linear")
-        got = linear_resize_mm(x, 60, 80)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=0, atol=1e-5,
-                                   err_msg=f"{ih}x{iw}")

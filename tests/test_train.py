@@ -176,58 +176,6 @@ def test_snippet_loader_host_sharding():
     assert len(set(seen[0]) | set(seen[1])) == 7
 
 
-def test_flat_adamw_matches_optax():
-    """flat_adamw (one fused buffer) == optax.chain(clip_by_global_norm,
-    adamw) leaf-for-leaf over several steps, with the clip both active and
-    inactive and a varying schedule."""
-    from parq_tpu.train.train_step import flat_adamw, make_optimizer
-    rng = np.random.RandomState(7)
-    params = {
-        "dense": {"kernel": jnp.asarray(rng.randn(17, 33), jnp.float32),
-                  "bias": jnp.asarray(rng.randn(33), jnp.float32)},
-        "norm": {"scale": jnp.asarray(rng.rand(33) + 0.5, jnp.float32)},
-        "emb": jnp.asarray(rng.randn(5, 17), jnp.float32),
-    }
-    sched = lambda step: 1e-3 * (1.0 + 0.1 * step)  # noqa: E731
-    tx_ref = make_optimizer(sched, grad_clip=1.0)
-    tx_flat = flat_adamw(sched, grad_clip=1.0)
-    s_ref, s_flat = tx_ref.init(params), tx_flat.init(params)
-    p_ref, p_flat = params, params
-    for step in range(4):
-        # step 0/2: huge grads (clip active); 1/3: tiny (clip inactive)
-        scale = 100.0 if step % 2 == 0 else 1e-3
-        grads = jax.tree_util.tree_map(
-            lambda p: jnp.asarray(
-                rng.randn(*p.shape) * scale, jnp.float32), p_ref)
-        u_ref, s_ref = tx_ref.update(grads, s_ref, p_ref)
-        u_flat, s_flat = tx_flat.update(grads, s_flat, p_flat)
-        p_ref = jax.tree_util.tree_map(lambda p, u: p + u, p_ref, u_ref)
-        p_flat = jax.tree_util.tree_map(lambda p, u: p + u, p_flat, u_flat)
-        for (path, a), b in zip(
-                jax.tree_util.tree_leaves_with_path(p_ref),
-                jax.tree_util.tree_leaves(p_flat)):
-            np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=0, atol=1e-6,
-                err_msg=f"step {step} {jax.tree_util.keystr(path)}")
-
-
-def test_flat_optimizer_full_train_step(overfit_setup):
-    """The jitted train step runs (and learns) with the flat optimizer."""
-    model, batch, _ = overfit_setup
-    tx = make_optimizer(lambda step: 1e-3, grad_clip=1.0, flat=True)
-    state = create_train_state(model, batch, tx, jax.random.PRNGKey(0))
-    step = make_jitted_train_step(LossConfig(), donate=False)
-    key = jax.random.PRNGKey(42)
-    first = None
-    for i in range(10):
-        key, sub = jax.random.split(key)
-        state, metrics = step(state, batch, sub)
-        if i == 0:
-            first = float(metrics["total_loss"])
-    last = float(metrics["total_loss"])
-    assert np.isfinite(last) and last < first, (first, last)
-
-
 def test_gradient_accumulation_matches_mean_grad():
     """TRAINER.ACCUMULATE_GRAD_BATCHES (optax.MultiSteps): k micro-steps
     accumulate the MEAN gradient and apply ONE optimizer update — identical
