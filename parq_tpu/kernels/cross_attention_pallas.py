@@ -178,7 +178,7 @@ def _bwd_kernel(seed_ref, q_ref, kt_ref, v_ref, do_ref, lse_ref, delta_ref,
                 dq_ref, dkt_ref, dv_ref, dq_scr, *,
                 sm_scale: float, block_k: int, q_tile: int, n_valid: int,
                 n_total: int, rate: float, groups: int, kv_nc: bool,
-                interpret: bool):
+                kv_fused: bool = False, interpret: bool):
     """Flash backward per (b, h, kv-block, q-tile):
       p  = exp(s - lse)              (recomputed, no stored weights)
       w  = p * keep / (1-rate)       (the actual forward weights)
@@ -187,7 +187,13 @@ def _bwd_kernel(seed_ref, q_ref, kt_ref, v_ref, do_ref, lse_ref, delta_ref,
                                       = rowsum(do*o) — the standard trick)
       dq += ds @ k ;  dk^T += q^T @ ds ;  dv += w^T @ do
     dkᵀ/dv blocks are revisited across the q-tile axis (innermost) and
-    accumulate in VMEM — the sum over folded iterations is free."""
+    accumulate in VMEM — the sum over folded iterations is free.
+
+    `kv_fused`: K and V arrive in ONE head-interleaved (B, N, H·2D) buffer
+    ([K_h | V_h] lanes — the fused projection's layout, see
+    flash_cross_attention_kv_fused); kt_ref is the fused block and the
+    kernel writes dK|dV back into ONE fused dKV output block (dkt_ref),
+    so the projection backward consumes the cotangent with no assembly."""
     nb = pl.program_id(2)
     qb = pl.program_id(3)
 
@@ -196,7 +202,18 @@ def _bwd_kernel(seed_ref, q_ref, kt_ref, v_ref, do_ref, lse_ref, delta_ref,
         dq_scr[qb] = jnp.zeros_like(dq_scr[qb])
 
     q = q_ref[0, 0]                                   # (QT, D)
-    if kv_nc:
+    if kv_fused:
+        D = q.shape[-1]
+        blk = kt_ref[0]                               # (BK, 2D)
+        k = blk[:, :D]
+        v = blk[:, D:]
+        if n_valid < n_total:
+            row = nb * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, v.shape, 0)
+            k = jnp.where(row < n_valid, k, 0)
+            v = jnp.where(row < n_valid, v, 0)
+        kt = None
+    elif kv_nc:
         k = kt_ref[0]                                 # (BK, D)
         v = v_ref[0]                                  # (BK, D)
         if n_valid < n_total:
@@ -259,9 +276,20 @@ def _bwd_kernel(seed_ref, q_ref, kt_ref, v_ref, do_ref, lse_ref, delta_ref,
             preferred_element_type=jnp.float32).astype(dkt_ref.dtype)
     dv_blk = jax.lax.dot_general(
         w_c, do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(dv_ref.dtype)   # (BK, D)
+        preferred_element_type=jnp.float32).astype(dkt_ref.dtype)  # (BK, D)
+
+    if kv_fused:
+        # one fused (BK, 2D) dKV block, built in registers and stored
+        # whole — no lane-slice stores
+        dkv_blk = jnp.concatenate([dkt_blk, dv_blk], axis=1)
+
     def store(first: bool):
-        if kv_nc:
+        if kv_fused:
+            if first:
+                dkt_ref[0] = dkv_blk
+            else:
+                dkt_ref[0] += dkv_blk
+        elif kv_nc:
             if first:
                 dkt_ref[0] = dkt_blk
                 dv_ref[0] = dv_blk
@@ -404,7 +432,10 @@ def _fwd_call(q, kt, v, seed, block_k, n_valid, rate, q_tile, interpret,
 
 
 def _bwd_call(q, kt, v, do, lse, delta, seed, block_k, n_valid, rate,
-              q_tile, interpret):
+              q_tile, interpret, kv_fused: bool = False):
+    """kv_fused: `kt` is the fused (B, N, H·2D) buffer (`v` is ignored);
+    returns (dq, dkv) with dKV in the SAME fused head-interleaved layout —
+    the projection backward consumes it with zero assembly traffic."""
     B, H, Q, D = q.shape
     kv_nc = kt.ndim == 3
     N = kt.shape[1] if kv_nc else kt.shape[-1]
@@ -416,15 +447,23 @@ def _bwd_call(q, kt, v, do, lse, delta, seed, block_k, n_valid, rate,
     kernel = functools.partial(
         _bwd_kernel, sm_scale=1.0 / (D ** 0.5), block_k=block_k, q_tile=QT,
         n_valid=n_valid, n_total=n_total, rate=rate, groups=groups,
-        kv_nc=kv_nc, interpret=interpret)
-    dq, dkt, dv = pl.pallas_call(
+        kv_nc=kv_nc, kv_fused=kv_fused, interpret=interpret)
+    if kv_fused:
+        base = kernel  # ONE kv operand / ONE dkv output: reinsert the
+                       # unused v_ref / dv_ref slots
+
+        def kernel(seed_ref, q_ref, kv_ref, do_ref, lse_ref,  # noqa: F811
+                   delta_ref, dq_ref, dkv_ref, dq_scr):
+            return base(seed_ref, q_ref, kv_ref, None, do_ref, lse_ref,
+                        delta_ref, dq_ref, dkv_ref, None, dq_scr)
+    outs = pl.pallas_call(
         kernel,
         grid=(B, H, nb, QB),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),     # seeds (G,)
             pl.BlockSpec((1, 1, QT, D), lambda b, h, n, t: (b, h, t, 0),
                          memory_space=pltpu.VMEM),
-        ] + _kv_specs(kv_nc, block_k, D) + [
+        ] + _kv_specs(kv_nc, block_k, D, kv_fused) + [
             pl.BlockSpec((1, 1, QT, D), lambda b, h, n, t: (b, h, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, QT, 128), lambda b, h, n, t: (b, h, t, 0),
@@ -435,12 +474,11 @@ def _bwd_call(q, kt, v, do, lse, delta, seed, block_k, n_valid, rate,
         out_specs=[
             pl.BlockSpec((1, 1, Q, D), lambda b, h, n, t: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-        ] + _kv_specs(kv_nc, block_k, D),
+        ] + _kv_specs(kv_nc, block_k, D, kv_fused),
         out_shape=[
             jax.ShapeDtypeStruct(q.shape, q.dtype),
             jax.ShapeDtypeStruct(kt.shape, kt.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
-        ],
+        ] + ([] if kv_fused else [jax.ShapeDtypeStruct(v.shape, v.dtype)]),
         scratch_shapes=[pltpu.VMEM((QB, QT, D), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary",
@@ -448,11 +486,15 @@ def _bwd_call(q, kt, v, do, lse, delta, seed, block_k, n_valid, rate,
         cost_estimate=pl.CostEstimate(
             flops=10 * B * H * Q * n_total * D,
             bytes_accessed=(3 * q.size * q.dtype.itemsize
-                            + 4 * kt.size * kt.dtype.itemsize),
+                            + (2 if kv_fused else 4)
+                            * kt.size * kt.dtype.itemsize),
             transcendentals=B * H * Q * n_total),
         interpret=interpret,
-    )(seed, q, kt, v, do, lse, delta)
-    return dq, dkt, dv
+    )(*((seed, q, kt, do, lse, delta) if kv_fused
+        else (seed, q, kt, v, do, lse, delta)))
+    if kv_fused:
+        return outs[0], outs[1]
+    return outs[0], outs[1], outs[2]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
@@ -586,9 +628,10 @@ def flash_cross_attention_kv_fused(q: jnp.ndarray, kv: jnp.ndarray, *,
     head's K and V in a single DMA (half the DMA issue rate of separate
     operands); no slice of the ~470MB buffer is ever materialized.
 
-    Inference path only (deterministic, NOT differentiable — a VJP would
-    have to hand back a fused dKV cotangent, whose assembly costs more than
-    the fused forward saves; training keeps separate K/V projections).
+    Forward-only entry point (no VJP declared; eval + SP-eval). Training
+    uses the differentiable fused twins below —
+    `flash_cross_attention_kv_fused_train` / `_fwd_lse` / `_precomputed` —
+    whose backward kernel emits dKV directly in this fused layout.
 
     `want_lse=True` also returns the rowwise logsumexp (B, H, Q, 128) f32
     — the residual the sequence-parallel merge needs."""
@@ -603,6 +646,169 @@ def flash_cross_attention_kv_fused(q: jnp.ndarray, kv: jnp.ndarray, *,
     o, lse = _fwd_call(q, kv, kv, seed, block_k, n_valid, 0.0, None,
                        bool(interpret), want_lse=want_lse, kv_fused=True)
     return (o, lse) if want_lse else o
+
+
+def _prep_fused_args(q, kv, block_k, n_valid, dropout_rate, dropout_seed,
+                     q_tile, interpret):
+    """Arg normalization for the fused (B, N, H·2D) K/V entry points —
+    the fused twin of `_prep_flash_args`' nc branch + seed handling."""
+    B, H, Q, D = q.shape
+    assert kv.ndim == 3 and kv.shape[-1] == 2 * H * D, (q.shape, kv.shape)
+    N = kv.shape[1]
+    n_valid = int(n_valid) if n_valid is not None else N
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    block_k = min(block_k, max(8, -(-N // 8) * 8))
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    seed = jnp.asarray(
+        dropout_seed if dropout_seed is not None else 0).reshape(-1)
+    seed = seed.astype(jnp.int32)
+    G = seed.shape[0]
+    if G > 1:
+        if Q % G:
+            raise ValueError(f"Q={Q} not divisible by seed groups G={G}")
+        q_tile = Q // G
+    if q_tile is not None and Q % q_tile:
+        raise ValueError(f"Q={Q} not divisible by q_tile={q_tile}")
+    if dropout_rate > 0.0 and G == 1 and q_tile is not None and q_tile < Q:
+        raise ValueError(
+            "scalar dropout_seed combined with q_tile replicates the "
+            "dropout mask across q-tiles; pass a (Q//q_tile,)-shaped seed "
+            "vector instead")
+    return (q, kv, seed, block_k, n_valid, float(dropout_rate), q_tile,
+            bool(interpret))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_attn_kv(q, kv, seed, block_k, n_valid, rate, q_tile, interpret):
+    o, _ = _fwd_call(q, kv, kv, seed, block_k, n_valid, rate, q_tile,
+                     interpret, want_lse=False, kv_fused=True)
+    return o
+
+
+def _flash_attn_kv_fwd(q, kv, seed, block_k, n_valid, rate, q_tile,
+                       interpret):
+    o, lse = _fwd_call(q, kv, kv, seed, block_k, n_valid, rate, q_tile,
+                       interpret, want_lse=True, kv_fused=True)
+    return o, (q, kv, seed, o, lse)
+
+
+def _flash_attn_kv_bwd(block_k, n_valid, rate, q_tile, interpret, res, g):
+    q, kv, seed, o, lse = res
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1, keepdims=True)             # (B,H,Q,1)
+    delta = jnp.broadcast_to(delta, delta.shape[:-1] + (128,))
+    dq, dkv = _bwd_call(q, kv, None, g.astype(q.dtype), lse, delta, seed,
+                        block_k, n_valid, rate, q_tile, interpret,
+                        kv_fused=True)
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return dq, dkv, dseed
+
+
+_flash_attn_kv.defvjp(_flash_attn_kv_fwd, _flash_attn_kv_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_attn_kv_pre(q, kv, seed, o, lse, block_k, n_valid, rate, q_tile,
+                       interpret):
+    """Fused-K/V flash attention with a PRECOMPUTED forward (the fused twin
+    of `_flash_attn_pre`): the primal is `o` from an identical earlier
+    call; the backward is the fused flash backward, returning dKV in the
+    head-interleaved layout."""
+    return o
+
+
+def _flash_attn_kv_pre_fwd(q, kv, seed, o, lse, block_k, n_valid, rate,
+                           q_tile, interpret):
+    return o, (q, kv, seed, o, lse)
+
+
+def _flash_attn_kv_pre_bwd(block_k, n_valid, rate, q_tile, interpret, res,
+                           g):
+    dq, dkv, dseed = _flash_attn_kv_bwd(block_k, n_valid, rate, q_tile,
+                                        interpret, res, g)
+    return dq, dkv, dseed, jnp.zeros(res[3].shape, res[3].dtype), \
+        jnp.zeros(res[4].shape, res[4].dtype)
+
+
+_flash_attn_kv_pre.defvjp(_flash_attn_kv_pre_fwd, _flash_attn_kv_pre_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_fwd_lse_kv_op(q, kv, seed, block_k, n_valid, rate, q_tile,
+                         interpret):
+    return _fwd_call(q, kv, kv, seed, block_k, n_valid, rate, q_tile,
+                     interpret, want_lse=True, kv_fused=True)
+
+
+def _flash_fwd_lse_kv_op_fwd(q, kv, seed, block_k, n_valid, rate, q_tile,
+                             interpret):
+    out = _fwd_call(q, kv, kv, seed, block_k, n_valid, rate, q_tile,
+                    interpret, want_lse=True, kv_fused=True)
+    return out, (q, kv, seed)
+
+
+def _flash_fwd_lse_kv_op_bwd(block_k, n_valid, rate, q_tile, interpret, res,
+                             g):
+    # ZERO gradients by declaration — trajectory passes only (see
+    # _flash_fwd_lse_op_bwd); real gradients flow through the fused
+    # precomputed VJP.
+    q, kv, seed = res
+    return (jnp.zeros_like(q), jnp.zeros_like(kv),
+            np.zeros(seed.shape, dtype=jax.dtypes.float0))
+
+
+_flash_fwd_lse_kv_op.defvjp(_flash_fwd_lse_kv_op_fwd, _flash_fwd_lse_kv_op_bwd)
+
+
+def flash_cross_attention_kv_fused_train(q, kv, *, block_k: int = 1440,
+                                         n_valid: int = None,
+                                         dropout_rate: float = 0.0,
+                                         dropout_seed=None,
+                                         q_tile: int = None,
+                                         interpret: bool = None):
+    """DIFFERENTIABLE flash attention over the fused (B, N, H·2D) K/V
+    buffer. The custom VJP's backward kernel writes dK|dV into ONE fused
+    dKV buffer in the same head-interleaved layout, so the fused projection
+    backward consumes the cotangent with zero assembly traffic — what makes
+    the fused projection a win at TRAIN time too (the r3 code kept separate
+    projections because a host-side dKV assembly would have cost ~1.2ms)."""
+    args = _prep_fused_args(q, kv, block_k, n_valid, dropout_rate,
+                            dropout_seed, q_tile, interpret)
+    return _flash_attn_kv(*args)
+
+
+def flash_cross_attention_kv_fused_fwd_lse(q, kv, *, block_k: int = 2880,
+                                           n_valid: int = None,
+                                           dropout_rate: float = 0.0,
+                                           dropout_seed=None,
+                                           q_tile: int = None,
+                                           interpret: bool = None):
+    """Fused-K/V forward that ALSO returns the rowwise logsumexp — the
+    fused twin of `flash_cross_attention_fwd_lse` (ZERO gradient; feeds
+    stop-gradient trajectory passes, the folded backward runs through
+    `flash_cross_attention_kv_fused_precomputed`)."""
+    args = _prep_fused_args(q, kv, block_k, n_valid, dropout_rate,
+                            dropout_seed, q_tile, interpret)
+    return _flash_fwd_lse_kv_op(*args)
+
+
+def flash_cross_attention_kv_fused_precomputed(q, kv, o, lse, *,
+                                               block_k: int = 1440,
+                                               n_valid: int = None,
+                                               dropout_rate: float = 0.0,
+                                               dropout_seed=None,
+                                               q_tile: int = None,
+                                               interpret: bool = None):
+    """Differentiable fused-K/V flash attention whose forward kernel is
+    SKIPPED — (o, lse) come from an identical earlier fused call. The
+    backward returns dKV in the fused head-interleaved layout."""
+    (q, kv, seed, block_k, n_valid, rate, q_tile,
+     interpret) = _prep_fused_args(q, kv, block_k, n_valid, dropout_rate,
+                                   dropout_seed, q_tile, interpret)
+    return _flash_attn_kv_pre(q, kv, seed, o, lse, block_k, n_valid, rate,
+                              q_tile, interpret)
 
 
 def flash_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,

@@ -143,6 +143,12 @@ class SelfAttention(nn.Module):
         proj = functools.partial(nn.DenseGeneral,
                                  features=(self.heads, head_dim),
                                  dtype=self.dtype)
+        # Everything below runs HEAD-MAJOR (..., H, N, hd): with the head
+        # axis as a leading batch dim both attention einsums are clean
+        # batched matmuls. The (..., N, H, hd) "qhd" forms of the r3 code
+        # made XLA-TPU emit the AV product as a base-dilated convolution —
+        # 2.1 ms/step for a 256-token attention in the r4 step profile
+        # (bench_results/r4/profile_step_top60.log) vs ~0.1 ms roofline.
         if q_in is k_in:
             # the decoder always passes q_in == k_in (tgt + query_pos):
             # run the two projections as ONE (C, 2·H·hd) matmul —
@@ -158,19 +164,26 @@ class SelfAttention(nn.Module):
                                  pk["bias"].reshape(HD)]).astype(self.dtype)
             qk = q_in.astype(self.dtype) @ w + b
             hd_shape = qk.shape[:-1] + (self.heads, head_dim)
-            q = qk[..., :HD].reshape(hd_shape)
-            k = qk[..., HD:].reshape(hd_shape)
+            q = jnp.swapaxes(qk[..., :HD].reshape(hd_shape), -3, -2)
+            k = jnp.swapaxes(qk[..., HD:].reshape(hd_shape), -3, -2)
         else:
-            q = proj(name="query")(q_in)              # (..., N, H, hd)
-            k = proj(name="key")(k_in)
-        v = proj(name="value")(v_in)
+            q = jnp.swapaxes(proj(name="query")(q_in), -3, -2)
+            k = jnp.swapaxes(proj(name="key")(k_in), -3, -2)
+        v = jnp.swapaxes(proj(name="value")(v_in), -3, -2)  # (..., H, N, hd)
         q = q / jnp.asarray(head_dim ** 0.5, q.dtype)
-        w = jnp.einsum("...qhd,...khd->...hqk", q, k)
+        w = jnp.einsum("...hqd,...hkd->...hqk", q, k)
         w = jax.nn.softmax(w.astype(jnp.float32), axis=-1).astype(q.dtype)
         w = _apply_drop(w, keep_mask, rate)
-        o = jnp.einsum("...hqk,...khd->...qhd", w, v)
-        return nn.DenseGeneral(self.dim, axis=(-2, -1), dtype=self.dtype,
-                               name="out")(o)
+        o = jnp.einsum("...hqk,...hkd->...hqd", w, v)
+        # out projection contracts (H, hd) straight out of the head-major
+        # layout — the head merge folds into the matmul, no relayout of o.
+        out_mod = nn.DenseGeneral(self.dim, axis=(-2, -1), dtype=self.dtype,
+                                  name="out")
+        out_mod(jnp.zeros((1, self.heads, head_dim), jnp.float32))  # declare
+        po = out_mod.variables["params"]          # kernel (H, hd, dim)
+        return (jnp.einsum("...hqd,hdo->...qo", o,
+                           po["kernel"].astype(self.dtype))
+                + po["bias"].astype(self.dtype))
 
 
 def _xla_cross_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -315,15 +328,33 @@ class DecoderLayer(nn.Module):
                 flash_cross_attention_precomputed = \
                     sp_flash_cross_attention_precomputed
             if self.kv_fused:
-                assert det and precomputed is None and not aux_out
+                # k_mem IS the fused (B, N, H·2D) buffer here (v_mem is the
+                # same array). Four sub-paths mirror the split ones below.
+                from ..kernels.cross_attention_pallas import (
+                    flash_cross_attention_kv_fused_fwd_lse,
+                    flash_cross_attention_kv_fused_precomputed,
+                    flash_cross_attention_kv_fused_train)
+                kv = k_mem.astype(cq.dtype)
                 if self.sp_mesh is not None:
+                    assert det and precomputed is None and not aux_out
                     attn = sp_flash_cross_attention_kv_fused(
-                        cq_h, k_mem.astype(cq.dtype), mesh=self.sp_mesh,
+                        cq_h, kv, mesh=self.sp_mesh,
                         block_k=kwargs["block_k"])
-                else:
+                elif precomputed is not None:
+                    attn = flash_cross_attention_kv_fused_precomputed(
+                        cq_h, kv, precomputed["attn_o"].astype(cq.dtype),
+                        precomputed["attn_lse"], **kwargs)
+                elif aux_out:
+                    attn, lse = flash_cross_attention_kv_fused_fwd_lse(
+                        cq_h, kv, **{**kwargs, "block_k": 2880})
+                    aux = {"attn_o": attn, "attn_lse": lse}
+                elif det:
                     attn = flash_cross_attention_kv_fused(
-                        cq_h, k_mem.astype(cq.dtype),
-                        block_k=kwargs["block_k"], n_valid=self.kv_valid)
+                        cq_h, kv, block_k=kwargs["block_k"],
+                        n_valid=self.kv_valid)
+                else:
+                    attn = flash_cross_attention_kv_fused_train(
+                        cq_h, kv, **kwargs)
             elif precomputed is not None:
                 attn = flash_cross_attention_precomputed(
                     cq_h, k_mem.astype(cq.dtype), v_mem.astype(cq.dtype),
@@ -618,15 +649,18 @@ class PARQDecoder(nn.Module):
             memory_tokens = jax.lax.with_sharding_constraint(
                 memory_tokens,
                 NamedSharding(sp_mesh, P(None, MODEL_AXIS, None)))
-        # INFERENCE: project K and V in ONE (C, 2·H·D) matmul — the token
-        # activation is read once and the flash kernel consumes the fused
-        # buffer via lane-offset blocks (no slice ever materializes).
-        # Training keeps separate projections: the flash VJP would have to
-        # hand back a fused dKV cotangent, whose assembly (~1.2ms of HBM
-        # traffic at release shapes) cancels the fwd/dW savings.
-        # Under SP the fused buffer shards on its token axis and the SP
-        # fused kernel merges the partials (sp_flash_cross_attention_kv_fused).
-        kv_fused = flash and deterministic
+        # Project K and V in ONE (C, 2·H·D) matmul — the token activation
+        # is read once, ONE weight-grad pass runs over the 236MB memory in
+        # the backward, and the flash kernel consumes the fused buffer via
+        # lane-offset blocks (no slice ever materializes). Training uses
+        # the differentiable fused twins whose backward kernel hands dKV
+        # back in the SAME fused layout (r4; the r3 code kept separate
+        # train projections because a dKV assembly outside the kernel
+        # would have cost ~1.2ms — the in-kernel fused store costs zero).
+        # Under SP the fused buffer shards on its token axis; the SP
+        # TRAIN path keeps separate projections (its flash variants merge
+        # per-shard partials and have no fused-train twin).
+        kv_fused = flash and (deterministic or sp_mesh is None)
         k_proj = FlatHeadDense(self.heads, head_dim, dtype=self.dtype,
                                in_features=Cm, name="cross_attn_key")
         v_proj = FlatHeadDense(self.heads, head_dim, dtype=self.dtype,

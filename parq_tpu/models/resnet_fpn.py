@@ -191,6 +191,51 @@ class FPN(nn.Module):
         ]
 
 
+def _upsample_interleave_1d(x: jnp.ndarray, axis: int, f: int) -> jnp.ndarray:
+    """Integer-factor linear upsample along `axis` (half-pixel centers,
+    edges clamped — F.interpolate(align_corners=False) semantics, same as
+    jax.image.resize('linear') to float rounding) built from shifted
+    weighted sums + a phase interleave: pure elementwise + reshape, no
+    gather. XLA can fuse this into the FPN concat and keep one layout,
+    where the gather-based resize forced a ~1.4 ms copy pair at release
+    dims (r4 profile). Phase j of the output samples source offset
+    (j+0.5)/f - 0.5 from its cell k, so each phase is a 2-tap lerp of x
+    with its clamped left or right neighbor."""
+    n = x.shape[axis]
+
+    def sl(s):
+        return tuple(s if a == axis else slice(None) for a in range(x.ndim))
+
+    xp = jnp.concatenate([x[sl(slice(0, 1))], x[sl(slice(0, n - 1))]],
+                         axis=axis)
+    xn = jnp.concatenate([x[sl(slice(1, n))], x[sl(slice(n - 1, n))]],
+                         axis=axis)
+    phases = []
+    for j in range(f):
+        off = (j + 0.5) / f - 0.5
+        a = jnp.asarray(abs(off), x.dtype)
+        phases.append(a * xp + (1 - a) * x if off < 0
+                      else (1 - a) * x + a * xn)
+    y = jnp.stack(phases, axis=axis + 1)
+    shape = list(x.shape)
+    shape[axis] = n * f
+    return y.reshape(shape)
+
+
+def upsample_linear(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Bilinear NHWC upsample to (h, w): the gather-free interleave form
+    when both ratios are integers, jax.image.resize otherwise (the release
+    dims' level-3 10x8 → 80x60 has a non-integer 7.5x height ratio)."""
+    ih, iw = x.shape[1:3]
+    if (ih, iw) == (h, w):
+        return x
+    if h % ih == 0 and w % iw == 0:
+        x = _upsample_interleave_1d(x, 1, h // ih)
+        return _upsample_interleave_1d(x, 2, w // iw)
+    return jax.image.resize(x, (x.shape[0], h, w, x.shape[3]),
+                            method="linear")
+
+
 class ResNetFPN(nn.Module):
     """Full backbone: normalize → ResNet → FPN → concat-to-1024 at level 0.
 
@@ -217,17 +262,13 @@ class ResNetFPN(nn.Module):
 
         # resize all levels to the target level and concat (ref: :73-80);
         # F.interpolate(mode='bilinear') default align_corners=False ==
-        # jax.image.resize 'linear' (half-pixel centers). [A separable-
-        # matmul resize (PARQ_FPN_MM_RESIZE) was A/B'd on-chip in r4 to
-        # attack the concat's 1.4ms layout-copy pair and LOST, 930.6 vs
-        # 941.7 fps — bench_results/r4/eval_mmresize.log — so gathers stay.]
+        # jax.image.resize 'linear' (half-pixel centers) == the interleave
+        # form (to float rounding). [A separable-matmul resize
+        # (PARQ_FPN_MM_RESIZE) was A/B'd on-chip in r4 to attack the
+        # concat's 1.4ms layout-copy pair and LOST, 930.6 vs 941.7 fps —
+        # bench_results/r4/eval_mmresize.log.]
         th, tw = pyr[self.layer].shape[1:3]
-        resized = [
-            jax.image.resize(p, (p.shape[0], th, tw, p.shape[3]),
-                             method="linear")
-            if p.shape[1:3] != (th, tw) else p
-            for p in pyr[:4]
-        ]
+        resized = [upsample_linear(p, th, tw) for p in pyr[:4]]
         v = jnp.concatenate(resized, axis=-1)  # (B*T, th, tw, 1024)
         if self.freeze:
             v = jax.lax.stop_gradient(v)

@@ -353,3 +353,93 @@ def test_flash_kv_fused_matches_separate(rng):
     got = flash_cross_attention_kv_fused(q, kv, n_valid=N, block_k=128,
                                          interpret=True)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_flash_kv_fused_train_grads_match_split(rng):
+    """The differentiable fused-K/V path (kv_fused_train): output AND
+    gradients == the separate-K/V flash path, with dKV handed back in the
+    fused head-interleaved layout (re-split here for comparison). Covers a
+    masked partial last block and a grouped-seed dropout call — the exact
+    contracts the fused TRAIN projections rely on."""
+    from parq_tpu.kernels.cross_attention_pallas import (
+        flash_cross_attention_kv_fused_train)
+    B, H, Q, D, N = 2, 4, 16, 128, 300   # N % block_k != 0
+    q = jnp.asarray(rng.randn(B, H, Q, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, N, H * D).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(B, N, H * D).astype(np.float32))
+    kv = jnp.stack([k.reshape(B, N, H, D), v.reshape(B, N, H, D)],
+                   axis=3).reshape(B, N, 2 * H * D)
+
+    def split_kv(dkv):
+        x = dkv.reshape(B, N, H, 2, D)
+        return x[:, :, :, 0].reshape(B, N, H * D), \
+            x[:, :, :, 1].reshape(B, N, H * D)
+
+    for rate, seeds in [(0.0, None), (0.3, jnp.asarray([17, 23], jnp.int32))]:
+        def loss_split(q, k, v):
+            o = flash_cross_attention(q, k, v, n_valid=N, block_k=128,
+                                      dropout_rate=rate, dropout_seed=seeds,
+                                      interpret=True)
+            return jnp.sum(o ** 2)
+
+        def loss_fused(q, kv):
+            o = flash_cross_attention_kv_fused_train(
+                q, kv, n_valid=N, block_k=128, dropout_rate=rate,
+                dropout_seed=seeds, interpret=True)
+            return jnp.sum(o ** 2)
+
+        dq_s, dk_s, dv_s = jax.grad(loss_split, argnums=(0, 1, 2))(q, k, v)
+        dq_f, dkv_f = jax.grad(loss_fused, argnums=(0, 1))(q, kv)
+        dk_f, dv_f = split_kv(dkv_f)
+        np.testing.assert_allclose(np.asarray(dq_f), np.asarray(dq_s),
+                                   atol=5e-4, rtol=1e-3, err_msg=f"dq {rate}")
+        np.testing.assert_allclose(np.asarray(dk_f), np.asarray(dk_s),
+                                   atol=5e-4, rtol=1e-3, err_msg=f"dk {rate}")
+        np.testing.assert_allclose(np.asarray(dv_f), np.asarray(dv_s),
+                                   atol=5e-4, rtol=1e-3, err_msg=f"dv {rate}")
+
+
+def test_flash_kv_fused_precomputed_matches_full(rng):
+    """Fused trajectory pass (fwd_lse, zero-grad) + fused precomputed
+    backward == the full fused custom VJP, with DIFFERENT block_k between
+    the two passes (the batched-grad path's block-split contract), dropout
+    on."""
+    from parq_tpu.kernels.cross_attention_pallas import (
+        flash_cross_attention_kv_fused_fwd_lse,
+        flash_cross_attention_kv_fused_precomputed,
+        flash_cross_attention_kv_fused_train)
+    B, H, Q, D, N = 1, 2, 16, 128, 700
+    q = jnp.asarray(rng.randn(B, H, Q, D).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, N, H * D).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(B, N, H * D).astype(np.float32))
+    kv = jnp.stack([k.reshape(B, N, H, D), v.reshape(B, N, H, D)],
+                   axis=3).reshape(B, N, 2 * H * D)
+    seeds = jnp.asarray([41, 43], jnp.int32)
+
+    o, lse = flash_cross_attention_kv_fused_fwd_lse(
+        q, kv, block_k=512, dropout_rate=0.25, dropout_seed=seeds,
+        interpret=True)
+
+    def loss_pre(q, kv):
+        out = flash_cross_attention_kv_fused_precomputed(
+            q, kv, o, lse, block_k=128, dropout_rate=0.25,
+            dropout_seed=seeds, interpret=True)
+        return jnp.sum(out ** 2)
+
+    def loss_full(q, kv):
+        out = flash_cross_attention_kv_fused_train(
+            q, kv, block_k=128, dropout_rate=0.25, dropout_seed=seeds,
+            interpret=True)
+        return jnp.sum(out ** 2)
+
+    # the precomputed forward must equal the full forward bit-for-bit
+    o_full = flash_cross_attention_kv_fused_train(
+        q, kv, block_k=512, dropout_rate=0.25, dropout_seed=seeds,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(o), np.asarray(o_full))
+
+    g_pre = jax.grad(loss_pre, argnums=(0, 1))(q, kv)
+    g_full = jax.grad(loss_full, argnums=(0, 1))(q, kv)
+    for a, b, nm in zip(g_pre, g_full, ("dq", "dkv")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-5, err_msg=nm)

@@ -296,3 +296,25 @@ def test_ray_pe_matches_torch_oracle(rng):
         Pose(jnp.asarray(Twp)), Pose(jnp.asarray(Twl))))
 
     np.testing.assert_allclose(got, expect, atol=1e-4)
+
+
+def test_upsample_linear_matches_jax_image():
+    """The gather-free interleave upsample == jax.image.resize('linear')
+    at the integer-ratio FPN level shapes of the release resolution
+    (2x: 40x30, 4x: 20x15 -> 80x60), and the non-integer-ratio level-3
+    shape (10x8, 7.5x height) falls through to jax.image.resize exactly.
+    Torch parity anchor: F.interpolate(mode='bilinear',
+    align_corners=False) == jax.image.resize('linear')
+    (test_backbone_matches_torch_oracle covers the composed backbone)."""
+    import jax
+    import jax.numpy as jnp
+    from parq_tpu.models.resnet_fpn import upsample_linear
+
+    rng = np.random.RandomState(11)
+    for ih, iw in [(30, 40), (15, 20), (8, 10), (7, 9)]:
+        x = jnp.asarray(rng.randn(2, ih, iw, 16).astype(np.float32))
+        want = jax.image.resize(x, (2, 60, 80, 16), method="linear")
+        got = upsample_linear(x, 60, 80)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=0, atol=1e-5,
+                                   err_msg=f"{ih}x{iw}")
