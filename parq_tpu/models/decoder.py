@@ -308,7 +308,7 @@ class DecoderLayer(nn.Module):
             # block-split-invariant by construction (see _keep_mask).
             kwargs = dict(
                 n_valid=self.kv_valid,
-                block_k=1280 if G > 1 else (4800 if det else 1440),
+                block_k=1440 if G > 1 else (4800 if det else 1440),
                 q_tile=Q0 if G > 1 else None,
                 dropout_rate=0.0 if det else rate, dropout_seed=seeds)
             if self.sp_mesh is not None:
