@@ -23,6 +23,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--hlo-out", default=None,
+                    help="also dump THIS program's optimized HLO (for "
+                         "scripts/trace_attr.py, which joins trace op "
+                         "names with HLO metadata — same program only)")
     args = ap.parse_args()
     try:
         jax.config.update("jax_compilation_cache_dir",
@@ -63,6 +67,11 @@ def main():
         out = run(batch)
         jax.block_until_ready(out)
     print_top(d, "eval loop (bench protocol)", args.top, calls=iters)
+    if args.hlo_out:
+        txt = run.lower(batch).compile().as_text()
+        with open(args.hlo_out, "w") as fh:
+            fh.write(txt)
+        print(f"wrote {len(txt)} bytes to {args.hlo_out}")
 
 
 if __name__ == "__main__":
