@@ -91,10 +91,16 @@ def _keep_mask(seed_ref, rate: float, shape, groups: int, block_k: int,
 
 def _fwd_kernel(seed_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref,
                 m_scr, l_scr, acc_scr, *,
-                sm_scale: float, block_k: int, q_tile: int, n_valid: int,
+                block_k: int, q_tile: int, n_valid: int,
                 n_total: int, rate: float, groups: int, want_lse: bool,
                 kv_nc: bool, kv_interleaved: bool = False,
                 interpret: bool):
+    # q arrives PRE-SCALED by sm_scale (folded into the tiny q operand by
+    # _fwd_call): the per-element `s * sm_scale` multiply over the
+    # (QT, BK) score tile — B·H·Q·N elements per decoder iteration — is
+    # gone from the VPU inner loop. For the release head_dim 256 the
+    # scale is 2^-4, so the fold is BIT-EXACT (power-of-two scaling
+    # commutes with every f32 round).
     nb = pl.program_id(2)
     qb = pl.program_id(3)
 
@@ -127,7 +133,7 @@ def _fwd_kernel(seed_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref,
             v = jnp.where(row < n_valid, v, 0)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale  # (QT, BK)
+            preferred_element_type=jnp.float32)       # (QT, BK)
     else:
         kt = kt_ref[0, 0]                             # (D, BK)
         v = v_ref[0, 0]                               # (BK, D)
@@ -135,7 +141,7 @@ def _fwd_kernel(seed_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref,
         # MXU-canonical: contraction dim is lhs-lane / rhs-sublane
         s = jax.lax.dot_general(
             q, kt, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale  # (QT, BK) f32
+            preferred_element_type=jnp.float32)       # (QT, BK) f32
 
     # mask the zero-padded tail of the KV axis (static n_valid)
     if n_valid < n_total:
@@ -176,16 +182,22 @@ def _fwd_kernel(seed_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref,
 
 def _bwd_kernel(seed_ref, q_ref, kt_ref, v_ref, do_ref, lse_ref, delta_ref,
                 dq_ref, dkt_ref, dv_ref, dq_scr, *,
-                sm_scale: float, block_k: int, q_tile: int, n_valid: int,
+                dq_scale: float, block_k: int, q_tile: int, n_valid: int,
                 n_total: int, rate: float, groups: int, kv_nc: bool,
                 kv_fused: bool = False, interpret: bool):
-    """Flash backward per (b, h, kv-block, q-tile):
+    """Flash backward per (b, h, kv-block, q-tile). q arrives PRE-SCALED
+    by sm_scale (see _fwd_kernel): s = q'@k matches the forward's scaled
+    logits with no per-element multiply, dk = q'^T@ds is the true dk
+    directly (the scale rides in q'), and dq needs one multiply by
+    sm_scale at the FINAL (QT, D) store (`dq_scale`) instead of scaling
+    the (QT, BK) ds tile every kv-block. Bit-exact for power-of-two
+    scales.
       p  = exp(s - lse)              (recomputed, no stored weights)
       w  = p * keep / (1-rate)       (the actual forward weights)
       dw = do @ v^T
-      ds = (w*dw - p*delta) * scale  (softmax + dropout chain rule; delta
+      ds = w*dw - p*delta            (softmax + dropout chain rule; delta
                                       = rowsum(do*o) — the standard trick)
-      dq += ds @ k ;  dk^T += q^T @ ds ;  dv += w^T @ do
+      dq += ds @ k ;  dk^T += q'^T @ ds ;  dv += w^T @ do
     dkᵀ/dv blocks are revisited across the q-tile axis (innermost) and
     accumulate in VMEM — the sum over folded iterations is free.
 
@@ -235,11 +247,11 @@ def _bwd_kernel(seed_ref, q_ref, kt_ref, v_ref, do_ref, lse_ref, delta_ref,
     if kv_nc:
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale
+            preferred_element_type=jnp.float32)
     else:
         s = jax.lax.dot_general(
             q, kt, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * sm_scale
+            preferred_element_type=jnp.float32)
     if n_valid < n_total:
         kv_idx = nb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, 1)
@@ -256,7 +268,7 @@ def _bwd_kernel(seed_ref, q_ref, kt_ref, v_ref, do_ref, lse_ref, delta_ref,
     dw = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)           # (QT, BK)
-    ds = (w * dw - p * delta) * sm_scale              # (QT, BK) f32
+    ds = w * dw - p * delta                           # (QT, BK) f32
     ds_c = ds.astype(q.dtype)
     w_c = w.astype(do.dtype)
 
@@ -318,8 +330,10 @@ def _bwd_kernel(seed_ref, q_ref, kt_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     @pl.when(nb == pl.num_programs(2) - 1)
     def _():
+        # undo the q-prescale ONCE on the accumulated (QT, D) tile —
+        # ds@k summed 1/sm_scale-scaled terms (exact for power-of-two)
         dq_ref[0, 0, pl.ds(qb * q_tile, q_tile), :] = \
-            dq_scr[qb].astype(dq_ref.dtype)
+            (dq_scr[qb] * dq_scale).astype(dq_ref.dtype)
 
 
 def cross_attention_reference(q: jnp.ndarray, k: jnp.ndarray,
@@ -381,8 +395,12 @@ def _fwd_call(q, kt, v, seed, block_k, n_valid, rate, q_tile, interpret,
     QT = q_tile or Q
     QB = Q // QT
     groups = seed.shape[0]
+    # Fold sm_scale into q OUTSIDE the kernel (q is ~250x smaller than the
+    # score matrix; XLA fuses the multiply into q's producer). Bit-exact
+    # for power-of-two scales (head_dim 256 -> 2^-4).
+    q = q * jnp.asarray(1.0 / (D ** 0.5), q.dtype)
     kernel = functools.partial(
-        _fwd_kernel, sm_scale=1.0 / (D ** 0.5), block_k=block_k, q_tile=QT,
+        _fwd_kernel, block_k=block_k, q_tile=QT,
         n_valid=n_valid, n_total=n_total, rate=rate, groups=groups,
         want_lse=want_lse, kv_nc=kv_nc, kv_interleaved=kv_fused,
         interpret=interpret)
@@ -444,8 +462,12 @@ def _bwd_call(q, kt, v, do, lse, delta, seed, block_k, n_valid, rate,
     QT = q_tile or Q
     QB = Q // QT
     groups = seed.shape[0]
+    # same q-prescale as _fwd_call: s = q'@k matches the forward's scaled
+    # logits; the kernel rescales dq by dq_scale at its final store
+    sm_scale = 1.0 / (D ** 0.5)
+    q = q * jnp.asarray(sm_scale, q.dtype)
     kernel = functools.partial(
-        _bwd_kernel, sm_scale=1.0 / (D ** 0.5), block_k=block_k, q_tile=QT,
+        _bwd_kernel, dq_scale=sm_scale, block_k=block_k, q_tile=QT,
         n_valid=n_valid, n_total=n_total, rate=rate, groups=groups,
         kv_nc=kv_nc, kv_fused=kv_fused, interpret=interpret)
     if kv_fused:
