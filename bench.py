@@ -99,7 +99,7 @@ def measure(fwd, batch, iters: int = 30, warmup: int = 1) -> float:
     return B * T * iters / dt
 
 
-def build_train(batch_size: int, dtype: str):
+def build_train(batch_size: int, dtype: str, dropout_rate: float = None):
     import jax
     import dataclasses
     from __graft_entry__ import _batch, _flagship_model
@@ -107,11 +107,19 @@ def build_train(batch_size: int, dtype: str):
                                 make_jitted_train_step, make_optimizer)
     model = _flagship_model()
     model = dataclasses.replace(model, compute_dtype=dtype)
+    if dropout_rate is not None:
+        # diagnostic knob (e.g. rate=0 isolates the flash kernels'
+        # in-kernel dropout-hash VPU cost) — NOT a headline configuration
+        model = dataclasses.replace(model, dropout_rate=dropout_rate)
     batch = _batch(model, batch_size)
     tx = make_optimizer(lambda s: 1e-4, grad_clip=1.0)
     state = create_train_state(model, batch, tx, jax.random.PRNGKey(0))
     step = make_jitted_train_step(LossConfig(), donate=False)
-    key = jax.random.PRNGKey(1)
+    # PARQ_RNG_IMPL=rbg: generate dropout masks with the TPU-cheap RBG
+    # generator instead of threefry (the r4 profile shows ~1 ms/step of
+    # threefry mask fusions). Same Bernoulli distribution, different draws.
+    impl = os.environ.get("PARQ_RNG_IMPL")
+    key = jax.random.key(1, impl=impl) if impl else jax.random.PRNGKey(1)
     return step, state, batch, key
 
 
@@ -188,6 +196,10 @@ def main():
                     help="deprecated no-op (the sampler is default on)")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--dropout", type=float, default=None,
+                    help="override model dropout rate (--train only; "
+                    "diagnostic — rate=0 isolates the in-kernel "
+                    "dropout-hash cost)")
     args = ap.parse_args()
 
     if not args.cpu_ref:
@@ -202,13 +214,16 @@ def main():
         return
 
     if args.train:
-        step, state, batch, key = build_train(args.batch, args.dtype)
+        step, state, batch, key = build_train(args.batch, args.dtype,
+                                              dropout_rate=args.dropout)
         fps = measure_train(step, state, batch, key, iters=args.iters)
         out = {
             "metric": "train_frames_per_sec_per_chip",
             "value": round(fps, 2),
             "unit": "frames/sec/chip",
         }
+        if args.dropout is not None:
+            out["dropout_override"] = args.dropout
         print(json.dumps(out))
         return
 

@@ -44,6 +44,7 @@ grid), and it has no dropout. These kernels are specialized to PARQ.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -53,7 +54,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30  # big-negative (not -inf) keeps exp() NaN-free on pad blocks
 LOG2E = 1.4426950408889634
-
 
 def _keep_mask(seed_ref, rate: float, shape, groups: int, block_k: int,
                interpret: bool):
@@ -74,12 +74,40 @@ def _keep_mask(seed_ref, rate: float, shape, groups: int, block_k: int,
     nb = pl.program_id(2)
     seed = seed_ref[pl.program_id(3)] if groups > 1 else seed_ref[0]
     thresh = jnp.uint32(min(int(rate * 2 ** 32), 2 ** 32 - 1))
+    h0 = ((seed.astype(jnp.uint32) * jnp.uint32(2654435761))
+          ^ (bh.astype(jnp.uint32) * jnp.uint32(2246822519)))
+    # hash variant (read at trace time): "v1" = murmur3 fmix32 full
+    # avalanche on 2D iotas; "v2" = rank-1 row/col pre-hash (the
+    # per-element work drops from ~4 uint mults + 2 full iotas to ONE
+    # mult + a broadcast add) + a single xorshift-mult-xorshift
+    # finalizer. Both are pure counter-based hashes of (seed, batch·head,
+    # tile-local row, GLOBAL kv column) — block-split invariance and
+    # fwd/bwd agreement hold for either. v2's statistical adequacy is
+    # asserted by tests/test_pallas_kernel.py::test_dropout_hash_v2_stats.
+    if os.environ.get("PARQ_DROPOUT_HASH", "v1") == "v2":
+        # rank-1 structure: per-ROW and per-COLUMN terms are hashed on
+        # (QT, 1) / (1, BK) vectors (QT + BK elements, not QT·BK); the 2D
+        # work is one broadcast add + one finalizer round. The row/col
+        # vectors get their own avalanche rounds so the rank-1 sum already
+        # decorrelates neighbors before the 2D finalizer.
+        r = jax.lax.broadcasted_iota(jnp.uint32, (shape[0], 1), 0)
+        c = (jax.lax.broadcasted_iota(jnp.uint32, (1, shape[1]), 1)
+             + jnp.uint32(nb * block_k))              # global kv column
+        rv = (h0 + r) * jnp.uint32(3266489917)
+        rv = rv ^ (rv >> 15)
+        rv = rv * jnp.uint32(0x85EBCA6B)
+        cv = c * jnp.uint32(668265263)
+        cv = cv ^ (cv >> 13)
+        cv = cv * jnp.uint32(0xC2B2AE35)
+        h = rv + cv                                   # (QT, BK) via bcast
+        h = h ^ (h >> 16)
+        h = h * jnp.uint32(0x7FEB352D)
+        bits = h ^ (h >> 15)
+        return bits >= thresh
     r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     c = (jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
          + jnp.uint32(nb * block_k))                  # global kv column
-    h = ((seed.astype(jnp.uint32) * jnp.uint32(2654435761))
-         ^ (bh.astype(jnp.uint32) * jnp.uint32(2246822519)))
-    h = h + r * jnp.uint32(3266489917) + c * jnp.uint32(668265263)
+    h = h0 + r * jnp.uint32(3266489917) + c * jnp.uint32(668265263)
     # murmur3 fmix32: full avalanche in 2 multiplies
     h = h ^ (h >> 16)
     h = h * jnp.uint32(0x85EBCA6B)

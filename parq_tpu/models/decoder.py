@@ -306,9 +306,10 @@ class DecoderLayer(nn.Module):
             # keep smaller blocks — the backward materializes ~5 (QT, BK)
             # f32 tiles. Mixing block sizes is safe: dropout masks are
             # block-split-invariant by construction (see _keep_mask).
+            eval_bk = int(os.environ.get("PARQ_EVAL_BLOCK_K", "4800"))
             kwargs = dict(
                 n_valid=self.kv_valid,
-                block_k=1440 if G > 1 else (4800 if det else 1440),
+                block_k=1440 if G > 1 else (eval_bk if det else 1440),
                 q_tile=Q0 if G > 1 else None,
                 dropout_rate=0.0 if det else rate, dropout_seed=seeds)
             if self.sp_mesh is not None:
@@ -758,11 +759,12 @@ class PARQDecoder(nn.Module):
         IterCls = nn.remat(DecoderIteration) if self.remat \
             else DecoderIteration
         if self.share_weights:
-            # unroll stays 1: full unroll (PARQ_SCAN_UNROLL=8) was A/B'd
-            # on-chip in r4 against the ~2ms loop/dispatch overhead and
-            # LOST, 930.3 vs 941.7 fps (bench_results/r4/eval_unroll.log) —
-            # XLA's while-loop body reuses its compiled schedule; inlining
-            # 8 bodies only grew the program.
+            # unroll default 1: full unroll (8) was A/B'd on-chip in r4
+            # against the ~2ms loop/dispatch overhead and LOST, 930.3 vs
+            # 941.7 fps (bench_results/r4/eval_unroll.log) — XLA's
+            # while-loop body reuses its compiled schedule; inlining 8
+            # bodies only grew the program. PARQ_SCAN_UNROLL sweeps the
+            # partial unrolls (2/4) the r4 A/B never tried.
             ScanIter = nn.scan(
                 IterCls,
                 variable_broadcast="params",
@@ -770,7 +772,7 @@ class PARQDecoder(nn.Module):
                 in_axes=(nn.broadcast, 0),
                 out_axes=0,
                 length=L,
-                unroll=1,
+                unroll=int(os.environ.get("PARQ_SCAN_UNROLL", "1")),
             )
             _, outputs = ScanIter(name="iteration", **iter_kwargs)(
                 ref_points, inputs, keys[:, None] if use_keys else None)

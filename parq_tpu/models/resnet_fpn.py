@@ -248,7 +248,13 @@ class ResNetFPN(nn.Module):
     dtype: object = None   # compute dtype (params stay f32)
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, images: jnp.ndarray,
+                 return_pyramid: bool = False):
+        """`return_pyramid=True` skips the resize/concat tail and returns
+        the four FPN smoothing-conv outputs [(B·T, h/2^l, w/2^l, C)] —
+        the fused Pallas FPN-tail path (kernels/fpn_concat_pallas.py)
+        performs the upsample+concat+rayPE-add in one pass instead. The
+        parameter tree is identical either way (the tail has no params)."""
         B, T, H, W, _ = images.shape
         x = images.reshape(B * T, H, W, 3)
         mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
@@ -259,6 +265,10 @@ class ResNetFPN(nn.Module):
 
         feats = ResNet(self.resnet_name, dtype=self.dtype, name="body")(x)
         pyr = FPN(self.fpn_channels, dtype=self.dtype, name="fpn")(feats)
+        if return_pyramid:
+            if self.freeze:
+                pyr = [jax.lax.stop_gradient(p) for p in pyr]
+            return pyr
 
         # resize all levels to the target level and concat (ref: :73-80);
         # F.interpolate(mode='bilinear') default align_corners=False ==

@@ -5,6 +5,7 @@ dropout. The fold is legal because the recurrence carry is stop_gradient-ed
 draws are bit-identical by construction (per-iteration keys, grouped
 draws)."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -74,6 +75,7 @@ def test_batched_outputs_match_scan_with_dropout(rng):
     assert float(jnp.abs(o3["pred_logits"] - o2["pred_logits"]).max()) > 1e-3
 
 
+@pytest.mark.slow
 def test_batched_grads_match_scan(rng):
     scene = _scene(rng)
     key = jax.random.PRNGKey(7)
@@ -120,6 +122,7 @@ def test_batched_grad_gate_respects_remat_and_unshared(rng):
     assert out["pred_logits"].shape == (2, B, Q, 4)
 
 
+@pytest.mark.slow
 def test_batched_grad_with_forced_kernels(rng):
     """Batched path with the REAL kernel stack (flash attention + fast
     sampler, interpret mode) and phase-1 aux reuse: outputs and gradients

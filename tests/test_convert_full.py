@@ -100,6 +100,7 @@ def fake_state_dict(rng):
     return sd
 
 
+@pytest.mark.slow
 def test_converted_tree_matches_flagship_model(rng):
     sd = fake_state_dict(rng)
     tree = convert_parq_checkpoint(sd, num_heads=HEADS, share_weights=True)

@@ -20,6 +20,7 @@ def smoke_cfg():
     return cfg
 
 
+@pytest.mark.slow
 def test_validate_for_vis_writes_pngs(tmp_path, smoke_cfg):
     from PIL import Image
 

@@ -443,3 +443,74 @@ def test_flash_kv_fused_precomputed_matches_full(rng):
     for a, b, nm in zip(g_pre, g_full, ("dq", "dkv")):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=1e-5, err_msg=nm)
+
+
+def _keep_mask_v2_numpy(seed, bh, QT, BK, col0, rate):
+    """Numpy spec of the v2 (rank-1 + one-round finalizer) dropout hash —
+    must stay in lockstep with _keep_mask's v2 branch."""
+    u32 = np.uint32
+    with np.errstate(over="ignore"):
+        h0 = (u32(seed) * u32(2654435761)) ^ (u32(bh) * u32(2246822519))
+        r = np.arange(QT, dtype=np.uint32).reshape(-1, 1)
+        c = (np.arange(BK, dtype=np.uint32) + u32(col0)).reshape(1, -1)
+        rv = (h0 + r) * u32(3266489917)
+        rv = rv ^ (rv >> u32(15))
+        rv = rv * u32(0x85EBCA6B)
+        cv = c * u32(668265263)
+        cv = cv ^ (cv >> u32(13))
+        cv = cv * u32(0xC2B2AE35)
+        h = rv + cv
+        h = h ^ (h >> u32(16))
+        h = h * u32(0x7FEB352D)
+        bits = h ^ (h >> u32(15))
+    thresh = np.uint32(min(int(rate * 2 ** 32), 2 ** 32 - 1))
+    return bits >= thresh
+
+
+def test_dropout_hash_v2_stats():
+    """Statistical adequacy of the cheap v2 hash at the RELEASE folded
+    backward shape (2048 rows x 14400 kv columns, rate 0.1): keep rate,
+    row/col rate spread at the binomial sigma, and neighbor / cross-(b,h)
+    / cross-seed joint-drop rates at independence."""
+    rate = 0.1
+    QT, BK = 2048, 14400
+    m = _keep_mask_v2_numpy(12345, 7, QT, BK, 0, rate)
+    assert abs(m.mean() - (1 - rate)) < 5e-4
+    binom_row = np.sqrt(rate * (1 - rate) / BK)
+    binom_col = np.sqrt(rate * (1 - rate) / QT)
+    assert abs(m.mean(1).std() - binom_row) < 0.25 * binom_row
+    assert abs(m.mean(0).std() - binom_col) < 0.25 * binom_col
+    d = ~m
+    indep = d.mean() ** 2
+    adj_col = (d[:, :-1] & d[:, 1:]).mean()
+    adj_row = (d[:-1, :] & d[1:, :]).mean()
+    assert abs(adj_col - indep) < 0.05 * indep
+    assert abs(adj_row - indep) < 0.05 * indep
+    m_bh = _keep_mask_v2_numpy(12345, 8, QT, BK, 0, rate)
+    m_seed = _keep_mask_v2_numpy(54321, 7, QT, BK, 0, rate)
+    assert abs((d & ~m_bh).mean() - indep) < 0.05 * indep
+    assert abs((d & ~m_seed).mean() - indep) < 0.05 * indep
+
+
+def test_dropout_hash_v2_kernel_contracts(rng, monkeypatch):
+    """With PARQ_DROPOUT_HASH=v2 the kernel contracts still hold:
+    block-split-invariant forward, and the v2 masks differ from v1 (the
+    knob is actually live)."""
+    monkeypatch.setenv("PARQ_DROPOUT_HASH", "v2")
+    B, H, Q, D, N = 1, 2, 16, 128, 700
+    q = jnp.asarray(rng.randn(B, H, Q, D).astype(np.float32))
+    k_nc = jnp.asarray(rng.randn(B, N, H * D).astype(np.float32) * 0.3)
+    v_nc = jnp.asarray(rng.randn(B, N, H * D).astype(np.float32))
+    seed = jnp.asarray([42], jnp.int32)
+    o_a = flash_cross_attention(q, k_nc, v_nc, block_k=128,
+                                dropout_rate=0.25, dropout_seed=seed,
+                                interpret=True)
+    o_b = flash_cross_attention(q, k_nc, v_nc, block_k=256,
+                                dropout_rate=0.25, dropout_seed=seed,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(o_a), np.asarray(o_b), atol=2e-5)
+    monkeypatch.setenv("PARQ_DROPOUT_HASH", "v1")
+    o_v1 = flash_cross_attention(q, k_nc, v_nc, block_k=128,
+                                 dropout_rate=0.25, dropout_seed=seed,
+                                 interpret=True)
+    assert not np.allclose(np.asarray(o_a), np.asarray(o_v1), atol=1e-6)

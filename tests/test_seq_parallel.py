@@ -245,6 +245,7 @@ def test_decoder_sp_eval_matches_single_device(rng):
                                    atol=2e-4, err_msg=k)
 
 
+@pytest.mark.slow
 def test_decoder_sp_training_gradients_match(rng):
     """SP training path (batched-grad phases run the SP fwd_lse +
     precomputed variants) — outputs and parameter gradients == the
@@ -272,6 +273,7 @@ def test_decoder_sp_training_gradients_match(rng):
             f"{jax.tree_util.keystr(path)}: |Δ|={nd} vs |g|={na}"
 
 
+@pytest.mark.slow
 def test_decoder_sp_dropout_runs_finite(rng):
     """SP + in-kernel dropout (per-shard decorrelated seeds) through the
     full decoder training path: finite outputs and gradients."""

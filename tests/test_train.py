@@ -51,6 +51,7 @@ def overfit_setup():
     return model, batch, state
 
 
+@pytest.mark.slow
 def test_overfit_one_batch(overfit_setup):
     _, batch, state = overfit_setup
     step = make_jitted_train_step(LossConfig(), donate=False)
@@ -86,6 +87,7 @@ def test_checkpoint_roundtrip(tmp_path, overfit_setup):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_data_parallel_mesh_matches_single_device(overfit_setup):
     """Train step over an 8-device data mesh must equal single-device."""
     model, batch, state0 = overfit_setup
@@ -115,6 +117,7 @@ def test_data_parallel_mesh_matches_single_device(overfit_setup):
                                float(m8b["total_loss"]), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_tensor_parallel_sharding_rules(overfit_setup):
     from parq_tpu.parallel import param_sharding_rules
     model, batch, state = overfit_setup

@@ -59,6 +59,7 @@ def test_trainer_fit_validate_resume(smoke_cfg):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_restore_best_after_fit(smoke_cfg):
     from parq_tpu.train.loop import Trainer
 
@@ -80,6 +81,7 @@ def test_strict_load_key_mismatch():
     assert any(p.startswith("unexpected") for p in probs)
 
 
+@pytest.mark.slow
 def test_image_logging_renders_pred_gt_and_features(smoke_cfg):
     """GT wireframes + PCA feature maps (VERDICT L8): the logging step
     exposes the sown feature map and the GT renderer produces an image."""
@@ -105,6 +107,7 @@ def test_image_logging_renders_pred_gt_and_features(smoke_cfg):
     assert pca.shape == tuple(feat.shape[2:4]) + (3,)
 
 
+@pytest.mark.slow
 def test_seed_determinism(smoke_cfg):
     """Same seed → bit-identical training trajectory (SURVEY §5 debug
     discipline: determinism is the TPU-native sanitizer)."""
