@@ -229,17 +229,22 @@ def main():
 
     use_pallas = not args.no_pallas
     # graceful degradation (only when the user didn't pin a config):
-    # full kernels → XLA sampler (flash kept) → all-XLA ops. The tier
-    # that actually ran is recorded in the JSON so a degraded number is
-    # never mistaken for the full-kernel headline.
+    # full kernels → no fused FPN tail → XLA sampler (flash kept) →
+    # all-XLA ops. The tier that actually ran is recorded in the JSON so
+    # a degraded number is never mistaken for the full-kernel headline.
     tiers = [dict(use_pallas=use_pallas)]
     if use_pallas:
-        tiers += [dict(use_pallas=False),
-                  dict(use_pallas=False, use_flash=False)]
+        tiers += [dict(use_pallas=use_pallas, fpn_fused="0"),
+                  dict(use_pallas=False, fpn_fused="0"),
+                  dict(use_pallas=False, use_flash=False, fpn_fused="0")]
     last_err = None
-    for tier in tiers:
+    for tier_i, tier in enumerate(tiers):
+        kwargs = dict(tier)
+        fpn = kwargs.pop("fpn_fused", None)
+        if fpn is not None:
+            os.environ["PARQ_FPN_FUSED"] = fpn
         try:
-            fwd, batch = build(args.batch, dtype=args.dtype, **tier)
+            fwd, batch = build(args.batch, dtype=args.dtype, **kwargs)
             fps = measure(fwd, batch, iters=args.iters)
             break
         except Exception as e:  # noqa: BLE001 — report the last tier's error
@@ -255,7 +260,7 @@ def main():
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / CPU_REFERENCE_FPS, 1),
     }
-    if tier != tiers[0]:
+    if tier_i != 0:
         out["degraded_tier"] = tier
     print(json.dumps(out))
 

@@ -19,6 +19,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--snippets", type=int, default=192)
     ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--scenes", type=int, default=4,
+                    help="distinct scenes (F1 track association grows "
+                    "per-scene — more scenes = realistic host load)")
+    ap.add_argument("--release", action="store_true",
+                    help="release model/image dims (configs/eval.yaml) "
+                    "instead of the smoke config")
     ap.add_argument("--cpu", action="store_true",
                     help="force the in-process CPU platform")
     args = ap.parse_args()
@@ -35,22 +41,27 @@ def main():
     import contextlib
     import io
 
-    from parq_tpu.config import get_cfg_defaults
+    from parq_tpu.config import get_cfg
     from parq_tpu.data import SnippetLoader
     from parq_tpu.data.synthetic import SyntheticDataset
     from parq_tpu.train.loop import Trainer
 
-    cfg = get_cfg_defaults()
-    cfg.merge_from_file("configs/smoke.yaml")
+    cfg = get_cfg()
+    cfg.merge_from_file("configs/eval.yaml" if args.release
+                        else "configs/smoke.yaml")
     cfg.DATAMODULE.BATCH_SIZE = args.batch_size
     cfg.DATAMODULE.NUM_WORKERS = 0
     cfg.LOG_IMAGES = False
+    if args.release:
+        cfg.DATAMODULE.DATA_PATH = "synthetic"
+        cfg.CHECKPOINT_PATH = ""
     if jax.default_backend() == "tpu":
         cfg.TPU.COMPUTE_DTYPE = "bfloat16"
     cfg.freeze()
 
     ds = SyntheticDataset(num_snippets=args.snippets,
-                          image_size=tuple(cfg.TPU.IMAGE_SIZE), seed=1000)
+                          image_size=tuple(cfg.TPU.IMAGE_SIZE), seed=1000,
+                          scenes=args.scenes)
     trainer = Trainer(cfg, workdir="/tmp/parq_val_pipeline")
 
     def fresh_loader():
