@@ -232,6 +232,11 @@ def main():
     # full kernels → no fused FPN tail → XLA sampler (flash kept) →
     # all-XLA ops. The tier that actually ran is recorded in the JSON so
     # a degraded number is never mistaken for the full-kernel headline.
+    # A non-default sweep knob (PARQ_EVAL_BLOCK_K etc.) counts as a pinned
+    # config: the fallback tiers DROP it — a broken sweep point must not
+    # cascade into "no-kernels" numbers (r5 suite: PARQ_EVAL_BLOCK_K=7200
+    # blew the kernel's VMEM and then poisoned every fallback tier too).
+    sweep_knobs = ("PARQ_EVAL_BLOCK_K", "PARQ_SCAN_UNROLL")
     tiers = [dict(use_pallas=use_pallas)]
     if use_pallas:
         tiers += [dict(use_pallas=use_pallas, fpn_fused="0"),
@@ -243,9 +248,20 @@ def main():
         fpn = kwargs.pop("fpn_fused", None)
         if fpn is not None:
             os.environ["PARQ_FPN_FUSED"] = fpn
+        if tier_i > 0:
+            for k in sweep_knobs:
+                os.environ.pop(k, None)
         try:
             fwd, batch = build(args.batch, dtype=args.dtype, **kwargs)
             fps = measure(fwd, batch, iters=args.iters)
+            # physical-plausibility guard: the v5e roofline for this model
+            # is ~2,000 fps; a wildly larger number means the measured
+            # program collapsed (e.g. XLA pruned the model body), not that
+            # the chip got faster. Treat it as a failed tier, never record.
+            if fps > 20_000:
+                raise RuntimeError(
+                    f"non-physical throughput {fps:.0f} fps (v5e roofline "
+                    "~2k) — measured program collapsed; discarding")
             break
         except Exception as e:  # noqa: BLE001 — report the last tier's error
             last_err = e

@@ -122,6 +122,7 @@ def _fwd_kernel(seed_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref,
                 block_k: int, q_tile: int, n_valid: int,
                 n_total: int, rate: float, groups: int, want_lse: bool,
                 kv_nc: bool, kv_interleaved: bool = False,
+                fold_log2e: bool = False,
                 interpret: bool):
     # q arrives PRE-SCALED by sm_scale (folded into the tiny q operand by
     # _fwd_call): the per-element `s * sm_scale` multiply over the
@@ -180,8 +181,16 @@ def _fwd_kernel(seed_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref,
     m_prev = m_scr[qb][:, 0:1]                        # (QT, 1)
     l_prev = l_scr[qb][:, 0:1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    alpha = jnp.exp2(LOG2E * (m_prev - m_new))        # (QT, 1)
-    p = jnp.exp2(LOG2E * s - LOG2E * m_new)           # (QT, BK) f32
+    if fold_log2e:
+        # s is ALREADY in base-2 units (LOG2E rode into the q pre-scale,
+        # see _fwd_call): the per-element LOG2E multiply over the (QT, BK)
+        # score tile disappears — exp2 consumes s - m directly. The max /
+        # sum / normalize algebra is base-agnostic.
+        alpha = jnp.exp2(m_prev - m_new)              # (QT, 1)
+        p = jnp.exp2(s - m_new)                       # (QT, BK) f32
+    else:
+        alpha = jnp.exp2(LOG2E * (m_prev - m_new))    # (QT, 1)
+        p = jnp.exp2(LOG2E * s - LOG2E * m_new)       # (QT, BK) f32
     # the softmax denominator uses the UNdropped weights (dropout applies
     # after normalization, like flax/torch weight-dropout)
     l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
@@ -426,12 +435,21 @@ def _fwd_call(q, kt, v, seed, block_k, n_valid, rate, q_tile, interpret,
     # Fold sm_scale into q OUTSIDE the kernel (q is ~250x smaller than the
     # score matrix; XLA fuses the multiply into q's producer). Bit-exact
     # for power-of-two scales (head_dim 256 -> 2^-4).
-    q = q * jnp.asarray(1.0 / (D ** 0.5), q.dtype)
+    # PARQ_FOLD_LOG2E=1 (eval-only lever: det forward, no LSE consumer)
+    # additionally folds LOG2E into the same pre-scale so the kernel's
+    # softmax runs directly in base-2 units — one fewer VPU pass over
+    # every (QT, BK) score tile. NOT bit-exact (LOG2E isn't dyadic: q
+    # rounds once in bf16 before the matmul, ~2^-8 relative — the same
+    # order as the flash kernel's existing bf16 input rounding).
+    fold_log2e = (rate == 0.0 and not want_lse
+                  and os.environ.get("PARQ_FOLD_LOG2E") == "1")
+    q = q * jnp.asarray((LOG2E if fold_log2e else 1.0) / (D ** 0.5),
+                        q.dtype)
     kernel = functools.partial(
         _fwd_kernel, block_k=block_k, q_tile=QT,
         n_valid=n_valid, n_total=n_total, rate=rate, groups=groups,
         want_lse=want_lse, kv_nc=kv_nc, kv_interleaved=kv_fused,
-        interpret=interpret)
+        fold_log2e=fold_log2e, interpret=interpret)
     if kv_fused:
         base = kernel  # ONE kv operand: reinsert the unused v_ref slot
 

@@ -307,10 +307,14 @@ class DecoderLayer(nn.Module):
             # f32 tiles. Mixing block sizes is safe: dropout masks are
             # block-split-invariant by construction (see _keep_mask).
             eval_bk = int(os.environ.get("PARQ_EVAL_BLOCK_K", "4800"))
+            # PARQ_EVAL_QTILE: sweep knob — smaller q tiles give mosaic
+            # finer MXU/VPU interleaving opportunities (QK^T of tile i+1
+            # can overlap softmax of tile i); 0/unset keeps one full tile.
+            eval_qt = int(os.environ.get("PARQ_EVAL_QTILE", "0")) or None
             kwargs = dict(
                 n_valid=self.kv_valid,
                 block_k=1440 if G > 1 else (eval_bk if det else 1440),
-                q_tile=Q0 if G > 1 else None,
+                q_tile=Q0 if G > 1 else (eval_qt if det else None),
                 dropout_rate=0.0 if det else rate, dropout_seed=seeds)
             if self.sp_mesh is not None:
                 # sequence-parallel variants: same API minus n_valid (the

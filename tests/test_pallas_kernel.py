@@ -514,3 +514,21 @@ def test_dropout_hash_v2_kernel_contracts(rng, monkeypatch):
                                  dropout_rate=0.25, dropout_seed=seed,
                                  interpret=True)
     assert not np.allclose(np.asarray(o_a), np.asarray(o_v1), atol=1e-6)
+
+
+def test_flash_fold_log2e_matches_reference(rng, monkeypatch):
+    """PARQ_FOLD_LOG2E=1 (base-2 logits via the q pre-scale — the eval-only
+    VPU lever) stays within f32-rounding tolerance of the exact-softmax
+    oracle; the fold only applies to det/no-LSE forwards by construction."""
+    monkeypatch.setenv("PARQ_FOLD_LOG2E", "1")
+    B, H, Q, D, N = 2, 2, 16, 128, 300
+    q = rng.randn(B, H, Q, D).astype(np.float32)
+    k = rng.randn(B, H, N, D).astype(np.float32) * 0.3
+    v = rng.randn(B, H, N, D).astype(np.float32)
+    got = flash_cross_attention(jnp.asarray(q), jnp.asarray(k),
+                                jnp.asarray(v), block_k=128, interpret=True)
+    want = cross_attention_reference(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v))
+    # NOT bit-exact (LOG2E isn't dyadic — q rounds once pre-matmul); the
+    # tolerance covers the extra rounding of the f32 q pre-scale
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
