@@ -229,9 +229,9 @@ def main():
 
     use_pallas = not args.no_pallas
     # graceful degradation (only when the user didn't pin a config):
-    # full kernels → no fused FPN tail → XLA sampler (flash kept) →
-    # all-XLA ops. The tier that actually ran is recorded in the JSON so
-    # a degraded number is never mistaken for the full-kernel headline.
+    # full kernels → XLA sampler (flash kept) → all-XLA ops. The tier
+    # that actually ran is recorded in the JSON so a degraded number is
+    # never mistaken for the full-kernel headline.
     # A non-default sweep knob (PARQ_EVAL_BLOCK_K etc.) counts as a pinned
     # config: the fallback tiers DROP it — a broken sweep point must not
     # cascade into "no-kernels" numbers (r5 suite: PARQ_EVAL_BLOCK_K=7200
@@ -239,15 +239,11 @@ def main():
     sweep_knobs = ("PARQ_EVAL_BLOCK_K", "PARQ_SCAN_UNROLL")
     tiers = [dict(use_pallas=use_pallas)]
     if use_pallas:
-        tiers += [dict(use_pallas=use_pallas, fpn_fused="0"),
-                  dict(use_pallas=False, fpn_fused="0"),
-                  dict(use_pallas=False, use_flash=False, fpn_fused="0")]
+        tiers += [dict(use_pallas=False),
+                  dict(use_pallas=False, use_flash=False)]
     last_err = None
     for tier_i, tier in enumerate(tiers):
         kwargs = dict(tier)
-        fpn = kwargs.pop("fpn_fused", None)
-        if fpn is not None:
-            os.environ["PARQ_FPN_FUSED"] = fpn
         if tier_i > 0:
             for k in sweep_knobs:
                 os.environ.pop(k, None)

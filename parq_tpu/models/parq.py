@@ -126,31 +126,14 @@ class PARQModel(nn.Module):
             camera_feature, T_camera_pseudoCam, T_world_pseudoCam,
             T_world_local)
 
-        # Fused FPN tail (upsample + 1024-lane concat + rayPE add in ONE
-        # HBM pass — kernels/fpn_concat_pallas.py): the XLA chain costs
-        # ~1.4-2 ms of layout copies at release dims (r4 profile). Same
-        # bf16-kernel gate as flash/sampler (f32 parity keeps exact XLA
-        # ops); shapes must be level-0-divisible, and layer 0 is the only
-        # concat target the kernel lays out. PARQ_FPN_FUSED=0 disables.
-        B, T = batch["rgb_img"].shape[:2]
-        w, h = self.feat_size  # feat_size is (W, H), like IMAGE_SIZE
-        # "1" enables on the TPU backend (compiled kernel); "force" also
-        # off-TPU (interpret mode — tests); "0" disables everywhere.
-        knob = os.environ.get("PARQ_FPN_FUSED", "0")
-        fused_tail = (
-            (knob == "force"
-             or (knob == "1" and jax.default_backend() == "tpu"))
-            and self.backbone_layer == 0
-            and dtype == jnp.bfloat16 and h % 4 == 0 and w % 4 == 0
-            and self.tokenizer_out_channels == 4 * self.fpn_channels)
-        if fused_tail:
-            from ..kernels.fpn_concat_pallas import (
-                fpn_tail_concat, resize_level3_separable)
-            pyr = backbone(batch["rgb_img"], return_pyramid=True)
-            u3 = resize_level3_separable(pyr[3], h, w)
-            memory = fpn_tail_concat(
-                pyr[0], pyr[1], pyr[2], u3, encoding, B, T,
-                jax.default_backend() != "tpu")
+        # FPN-tail add placement: folding the rayPE add INTO the concat's
+        # operands kills the separate 236MB-in/236MB-out add op (1.44 ms
+        # fwd in the r4 train profile) — same math as
+        # `concat(levels) + encoding`, ~1e-6 FMA-fusion noise (see
+        # ResNetFPN.__call__ and tests/test_fpn_splitadd.py).
+        # Default off until its on-chip A/B lands (flip after).
+        if os.environ.get("PARQ_FPN_SPLITADD", "0") == "1":
+            memory = backbone(batch["rgb_img"], add_to=encoding)
         else:
             feats = backbone(batch["rgb_img"])  # (B,T,h,w,4*fpn_channels)
             memory = feats + encoding  # (B,T,h,w,C); tokenize = reshape

@@ -249,12 +249,18 @@ class ResNetFPN(nn.Module):
 
     @nn.compact
     def __call__(self, images: jnp.ndarray,
-                 return_pyramid: bool = False):
-        """`return_pyramid=True` skips the resize/concat tail and returns
-        the four FPN smoothing-conv outputs [(B·T, h/2^l, w/2^l, C)] —
-        the fused Pallas FPN-tail path (kernels/fpn_concat_pallas.py)
-        performs the upsample+concat+rayPE-add in one pass instead. The
-        parameter tree is identical either way (the tail has no params)."""
+                 add_to: jnp.ndarray = None):
+        """`add_to` (the rayPE encoding, (B, T, th, tw, 4C)): fold the
+        elementwise add INTO the concat's operands — each lane slice of
+        the output is `up_l + enc[..., lC:(l+1)C]`, so the separate
+        236MB-in/236MB-out add op (1.44 ms fwd in the r4 train profile)
+        disappears and the concat writes the final memory directly.
+        Same math as `concat(up_0..3) + enc` (elementwise, slice-aligned)
+        but NOT bit-exact under jit — XLA fuses the moved add into the
+        upsample's FMA chain (~1e-6 rel; tests/test_fpn_splitadd.py). [A 4-launch Pallas fused tail attacking the same
+        traffic LOST its r5 A/B, 935 vs 947 eval fps: per-launch overhead
+        + per-level re-read/re-write of the lane slices cost more than
+        the XLA chain — bench_results/r5/RESULTS.md.]"""
         B, T, H, W, _ = images.shape
         x = images.reshape(B * T, H, W, 3)
         mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
@@ -265,10 +271,6 @@ class ResNetFPN(nn.Module):
 
         feats = ResNet(self.resnet_name, dtype=self.dtype, name="body")(x)
         pyr = FPN(self.fpn_channels, dtype=self.dtype, name="fpn")(feats)
-        if return_pyramid:
-            if self.freeze:
-                pyr = [jax.lax.stop_gradient(p) for p in pyr]
-            return pyr
 
         # resize all levels to the target level and concat (ref: :73-80);
         # F.interpolate(mode='bilinear') default align_corners=False ==
@@ -279,9 +281,14 @@ class ResNetFPN(nn.Module):
         # bench_results/r4/eval_mmresize.log.]
         th, tw = pyr[self.layer].shape[1:3]
         resized = [upsample_linear(p, th, tw) for p in pyr[:4]]
-        v = jnp.concatenate(resized, axis=-1)  # (B*T, th, tw, 1024)
         if self.freeze:
-            v = jax.lax.stop_gradient(v)
+            resized = [jax.lax.stop_gradient(r) for r in resized]
+        if add_to is not None:
+            C = resized[0].shape[-1]
+            enc = add_to.reshape(B * T, th, tw, add_to.shape[-1])
+            resized = [r + enc[..., i * C:(i + 1) * C]
+                       for i, r in enumerate(resized)]
+        v = jnp.concatenate(resized, axis=-1)  # (B*T, th, tw, 1024)
         return v.reshape(B, T, th, tw, v.shape[-1])
 
     def camera_scale_factor(self) -> float:
