@@ -435,14 +435,18 @@ def _fwd_call(q, kt, v, seed, block_k, n_valid, rate, q_tile, interpret,
     # Fold sm_scale into q OUTSIDE the kernel (q is ~250x smaller than the
     # score matrix; XLA fuses the multiply into q's producer). Bit-exact
     # for power-of-two scales (head_dim 256 -> 2^-4).
-    # PARQ_FOLD_LOG2E=1 (eval-only lever: det forward, no LSE consumer)
-    # additionally folds LOG2E into the same pre-scale so the kernel's
-    # softmax runs directly in base-2 units — one fewer VPU pass over
-    # every (QT, BK) score tile. NOT bit-exact (LOG2E isn't dyadic: q
-    # rounds once in bf16 before the matmul, ~2^-8 relative — the same
-    # order as the flash kernel's existing bf16 input rounding).
+    # Det/no-LSE forwards (the eval path) additionally fold LOG2E into
+    # the same pre-scale so the kernel's softmax runs directly in base-2
+    # units — one fewer VPU pass over every (QT, BK) score tile. WON its
+    # r5 on-chip A/B: 957.0 vs 947.1 eval fps (+9.9 ≈ 0.26 ms/step,
+    # bench_results/r5/eval_fold_log2e.log) — default ON;
+    # PARQ_FOLD_LOG2E=0 disables for A/B. NOT bit-exact (LOG2E isn't
+    # dyadic: q rounds once in bf16 before the matmul, ~2^-8 relative —
+    # the same order as the flash kernel's existing bf16 input rounding;
+    # f32-path delta vs the exact oracle ~1e-7, far under the 1e-4
+    # parity gate).
     fold_log2e = (rate == 0.0 and not want_lse
-                  and os.environ.get("PARQ_FOLD_LOG2E") == "1")
+                  and os.environ.get("PARQ_FOLD_LOG2E", "1") == "1")
     q = q * jnp.asarray((LOG2E if fold_log2e else 1.0) / (D ** 0.5),
                         q.dtype)
     kernel = functools.partial(
