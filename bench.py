@@ -115,11 +115,14 @@ def build_train(batch_size: int, dtype: str, dropout_rate: float = None):
     tx = make_optimizer(lambda s: 1e-4, grad_clip=1.0)
     state = create_train_state(model, batch, tx, jax.random.PRNGKey(0))
     step = make_jitted_train_step(LossConfig(), donate=False)
-    # PARQ_RNG_IMPL=rbg: generate dropout masks with the TPU-cheap RBG
-    # generator instead of threefry (the r4 profile shows ~1 ms/step of
-    # threefry mask fusions). Same Bernoulli distribution, different draws.
-    impl = os.environ.get("PARQ_RNG_IMPL")
-    key = jax.random.key(1, impl=impl) if impl else jax.random.PRNGKey(1)
+    # Dropout-mask PRNG (mirrors TPU.RNG_IMPL): default "rbg", the
+    # TPU-cheap generator — won its r5 A/B +8.0 train fps over threefry
+    # (~1.1 ms/step of mask fusions, bench_results/r5/train_rbg.log).
+    # Same Bernoulli distribution, different draws. PARQ_RNG_IMPL=threefry
+    # for A/B.
+    impl = os.environ.get("PARQ_RNG_IMPL", "rbg")
+    key = (jax.random.PRNGKey(1) if impl == "threefry"
+           else jax.random.key(1, impl=impl))
     return step, state, batch, key
 
 

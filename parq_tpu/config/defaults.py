@@ -136,6 +136,11 @@ _C.TPU.DONATE_TRAIN_STATE = True
 _C.TPU.PROFILE_STEPS = 0   # >0: jax.profiler trace of N train steps to
                            # <workdir>/profile (view with Perfetto/XProf)
 _C.TPU.DEBUG_NANS = False  # jax_debug_nans: fail fast on NaN/Inf (SURVEY §5)
+_C.TPU.RNG_IMPL = "rbg"    # dropout-stream PRNG: "rbg" (TPU-cheap; won its
+                           # r5 A/B +8 fps train — the outer threefry mask
+                           # fusions cost ~1.1 ms/step) or "threefry".
+                           # Same Bernoulli distribution, different draws;
+                           # param-init stays threefry either way.
 
 
 def get_cfg() -> CN:

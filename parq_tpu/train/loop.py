@@ -305,7 +305,11 @@ class Trainer:
         val_every = max(1, int(steps_per_epoch
                                * float(cfg.TRAINER.VAL_CHECK_INTERVAL)))
         limit_val = cfg.TRAINER.LIMIT_VAL_BATCHES
-        rng = jax.random.PRNGKey(cfg.SEED + 17)
+        # dropout stream: typed key so the impl rides into the jitted step
+        # (TPU.RNG_IMPL "rbg" replaces ~1.1 ms/step of threefry mask
+        # fusions — r5 A/B; param init stays threefry for reproducibility)
+        rng = jax.random.key(cfg.SEED + 17,
+                             impl=getattr(cfg.TPU, "RNG_IMPL", "rbg"))
 
         log_img_every = max(int(cfg.LOG_IMAGES_FREQUENCY), 1)
         # OVERFIT_BATCHES / LIMIT_TRAIN_BATCHES (ref: TRAINER knobs):
