@@ -126,17 +126,8 @@ class PARQModel(nn.Module):
             camera_feature, T_camera_pseudoCam, T_world_pseudoCam,
             T_world_local)
 
-        # FPN-tail add placement: folding the rayPE add INTO the concat's
-        # operands kills the separate 236MB-in/236MB-out add op (1.44 ms
-        # fwd in the r4 train profile) — same math as
-        # `concat(levels) + encoding`, ~1e-6 FMA-fusion noise (see
-        # ResNetFPN.__call__ and tests/test_fpn_splitadd.py).
-        # Default off until its on-chip A/B lands (flip after).
-        if os.environ.get("PARQ_FPN_SPLITADD", "0") == "1":
-            memory = backbone(batch["rgb_img"], add_to=encoding)
-        else:
-            feats = backbone(batch["rgb_img"])  # (B,T,h,w,4*fpn_channels)
-            memory = feats + encoding  # (B,T,h,w,C); tokenize = reshape
+        feats = backbone(batch["rgb_img"])  # (B,T,h,w,4*fpn_channels)
+        memory = feats + encoding  # (B,T,h,w,C); tokenization = reshape
         # exposed for TB feature-map logging (ref logs PCA-compressed maps,
         # parq_lightning.py:252-276); recorded only when the caller asks for
         # mutable=["intermediates"], free otherwise

@@ -248,19 +248,7 @@ class ResNetFPN(nn.Module):
     dtype: object = None   # compute dtype (params stay f32)
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray,
-                 add_to: jnp.ndarray = None):
-        """`add_to` (the rayPE encoding, (B, T, th, tw, 4C)): fold the
-        elementwise add INTO the concat's operands — each lane slice of
-        the output is `up_l + enc[..., lC:(l+1)C]`, so the separate
-        236MB-in/236MB-out add op (1.44 ms fwd in the r4 train profile)
-        disappears and the concat writes the final memory directly.
-        Same math as `concat(up_0..3) + enc` (elementwise, slice-aligned)
-        but NOT bit-exact under jit — XLA fuses the moved add into the
-        upsample's FMA chain (~1e-6 rel; tests/test_fpn_splitadd.py). [A 4-launch Pallas fused tail attacking the same
-        traffic LOST its r5 A/B, 935 vs 947 eval fps: per-launch overhead
-        + per-level re-read/re-write of the lane slices cost more than
-        the XLA chain — bench_results/r5/RESULTS.md.]"""
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
         B, T, H, W, _ = images.shape
         x = images.reshape(B * T, H, W, 3)
         mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
@@ -283,11 +271,10 @@ class ResNetFPN(nn.Module):
         resized = [upsample_linear(p, th, tw) for p in pyr[:4]]
         if self.freeze:
             resized = [jax.lax.stop_gradient(r) for r in resized]
-        if add_to is not None:
-            C = resized[0].shape[-1]
-            enc = add_to.reshape(B * T, th, tw, add_to.shape[-1])
-            resized = [r + enc[..., i * C:(i + 1) * C]
-                       for i, r in enumerate(resized)]
+        # [r5: folding the rayPE add into these concat operands
+        # (split-add) LOST its A/B 909.6 vs 957.0 eval fps — the enc
+        # lane-slice reads broke the upsample/concat fusions; the plain
+        # concat + one add op is what XLA schedules best. Don't redo.]
         v = jnp.concatenate(resized, axis=-1)  # (B*T, th, tw, 1024)
         return v.reshape(B, T, th, tw, v.shape[-1])
 
