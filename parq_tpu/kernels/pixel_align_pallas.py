@@ -34,7 +34,12 @@ from ..ops.pixel_align import pixel_aligned_features as _xla_reference
 def _pick_row_tile(H: int, W: int, C: int, Q: int, itemsize: int) -> int:
     """Largest divisor row-tile fitting the ~16MB v5e VMEM budget with
     double-buffered input blocks + the (Q, C) f32 accumulator + weight
-    intermediates."""
+    intermediates. PARQ_SAMPLER_RT overrides (r5 sweep knob: bigger tiles
+    = fewer grid steps / less per-step W-build overhead, tighter VMEM)."""
+    import os
+    rt_env = int(os.environ.get("PARQ_SAMPLER_RT", "0"))
+    if rt_env > 0 and H % rt_env == 0:
+        return rt_env
     budget = 12 * 1024 * 1024
     for rt in (30, 20, 15, 12, 10, 8, 6, 5, 4, 3, 2, 1):
         if H % rt:

@@ -8,6 +8,7 @@ quirk matters for checkpoint parity, so `GroupNorm1` mirrors it exactly.
 """
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -171,17 +172,29 @@ def fused_detection_heads(x: jnp.ndarray, center, rotation, semcls, size,
     h = nn.relu(_gn_pair(h, jnp.stack([c_hid[0][1], r_hid[0][1]]),
                          jnp.stack([c_hid[0][2], r_hid[0][2]]), n_groups))
 
-    # layer 2: block-diagonal (2D, 2D) keeps the (B, N, 2D) layout; it
-    # spends 2x the FLOPs on the zero blocks (~+206 GFLOP/train-step at
-    # release dims) but beat the two-lane-slice-matmuls + stack-copy form
-    # in the r4 on-chip A/B (258.7 vs 255.3 train fps,
-    # bench_results/r4/train_l2split.log) — the zero blocks add exact +0.0.
-    zc = jnp.zeros_like(c_hid[1][0])
-    w2 = jnp.concatenate(
-        [jnp.concatenate([c_hid[1][0], zc], axis=1),
-         jnp.concatenate([jnp.zeros_like(r_hid[1][0]), r_hid[1][0]],
-                         axis=1)], axis=0).astype(dtype)
-    h = (h.reshape(B, N, 2 * D) @ w2).reshape(B, N, 2, D)
+    # layer 2. Three candidate forms, all the same math:
+    #   blockdiag — (2D, 2D) with zero off-blocks (r4 default); the r5
+    #     eval profile shows XLA REWRITES this into a 1x2-window
+    #     convolution (it detects the block structure) that lowers ~8x
+    #     off roofline (convert_reduce_fusion.20: 0.73 ms/call vs ~0.09
+    #     dense roofline);
+    #   batched — k-batched dot_general over the head-slot axis: true
+    #     FLOPs (no zero blocks), no conv rewrite, keeps (B, N, 2, D)
+    #     (the layer-1 reshape output) with no extra copies;
+    #   [two-lane-slice matmuls + stack: LOST r4 255.3 vs 258.7 train —
+    #     the stack copy; the batched form has no such copy.]
+    # The zero-block terms add exact +0.0 to every f32 accumulator, but
+    # partial-sum grouping differs between forms → ≤1e-7-rel deltas.
+    if os.environ.get("PARQ_HEADS_L2", "blockdiag") == "batched":
+        w2b = jnp.stack([c_hid[1][0], r_hid[1][0]]).astype(dtype)  # (2,D,D)
+        h = jnp.einsum("bnkd,kde->bnke", h, w2b)          # (B,N,2,D)
+    else:
+        zc = jnp.zeros_like(c_hid[1][0])
+        w2 = jnp.concatenate(
+            [jnp.concatenate([c_hid[1][0], zc], axis=1),
+             jnp.concatenate([jnp.zeros_like(r_hid[1][0]), r_hid[1][0]],
+                             axis=1)], axis=0).astype(dtype)
+        h = (h.reshape(B, N, 2 * D) @ w2).reshape(B, N, 2, D)
     h = nn.relu(_gn_pair(h, jnp.stack([c_hid[1][1], r_hid[1][1]]),
                          jnp.stack([c_hid[1][2], r_hid[1][2]]), n_groups))
 

@@ -74,3 +74,20 @@ def test_fused_heads_grads_match(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_fused_heads_batched_l2_matches(rng, monkeypatch):
+    """PARQ_HEADS_L2=batched (k-batched dot_general layer 2 — the r5 form
+    that dodges XLA's slow 1x2-conv rewrite of the block-diagonal matmul)
+    computes the same heads as the blockdiag form; partial-sum grouping
+    differs, so tolerance not bitwise."""
+    x = jnp.asarray(rng.randn(B, N, D).astype(np.float32))
+    fus = _Fused()
+    params = fus.init(jax.random.PRNGKey(0), x)
+    monkeypatch.setenv("PARQ_HEADS_L2", "blockdiag")
+    a = jax.jit(lambda p: fus.apply(p, x))(params)
+    monkeypatch.setenv("PARQ_HEADS_L2", "batched")
+    b = jax.jit(lambda p: fus.apply(p, x))(params)
+    for got, want, name in zip(b, a, ["center", "logits", "size", "ortho6d"]):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5, err_msg=name)
