@@ -122,7 +122,7 @@ def _fwd_kernel(seed_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref,
                 block_k: int, q_tile: int, n_valid: int,
                 n_total: int, rate: float, groups: int, want_lse: bool,
                 kv_nc: bool, kv_interleaved: bool = False,
-                fold_log2e: bool = False,
+                fold_log2e: bool = False, static_shift=None,
                 interpret: bool):
     # q arrives PRE-SCALED by sm_scale (folded into the tiny q operand by
     # _fwd_call): the per-element `s * sm_scale` multiply over the
@@ -177,6 +177,38 @@ def _fwd_kernel(seed_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref,
         kv_idx = nb * block_k + jax.lax.broadcasted_iota(
             jnp.int32, s.shape, 1)
         s = jnp.where(kv_idx < n_valid, s, NEG_INF)
+
+    if static_shift is not None:
+        # Det-forward "static-shift softmax" (needs fold_log2e): NO
+        # running max at all — p = exp2(s - SHIFT) with a static integer
+        # SHIFT, l/acc accumulate unrescaled, o = acc/l as usual. The
+        # shift is mathematically a constant softmax offset (exact ratio)
+        # and, being an integer, subtracts exactly and scales exp2 by a
+        # dyadic factor, so precision matches the running-max form for
+        # any base-2 logit in (SHIFT-172, SHIFT+126): above, inf; below,
+        # the term flushes to exact 0 (≈2^-172 relative — far below f32
+        # resolution of the sum either way). Release-dims logits are
+        # O(±50); SHIFT=80 leaves >90 doublings of overflow headroom.
+        # Kills the max-reduce VPU pass over every (QT, BK) tile AND the
+        # per-block alpha rescale of the (QT, D) accumulator.
+        p = jnp.exp2(s - static_shift)                # (QT, BK) f32
+        l_new = l_scr[qb][:, 0:1] + jnp.sum(p, axis=-1, keepdims=True)
+        if rate > 0.0:
+            keep = _keep_mask(seed_ref, rate, p.shape, groups, block_k,
+                              interpret)
+            p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (QT, D)
+        acc_scr[qb] += pv
+        l_scr[qb] = jnp.broadcast_to(l_new, l_scr[qb].shape)
+
+        @pl.when(nb == pl.num_programs(2) - 1)
+        def _():
+            rows = pl.ds(qb * q_tile, q_tile)
+            o_ref[0, 0, rows, :] = (acc_scr[qb]
+                                    / l_scr[qb][:, 0:1]).astype(o_ref.dtype)
+        return
 
     m_prev = m_scr[qb][:, 0:1]                        # (QT, 1)
     l_prev = l_scr[qb][:, 0:1]
@@ -447,13 +479,22 @@ def _fwd_call(q, kt, v, seed, block_k, n_valid, rate, q_tile, interpret,
     # parity gate).
     fold_log2e = (rate == 0.0 and not want_lse
                   and os.environ.get("PARQ_FOLD_LOG2E", "1") == "1")
+    # PARQ_ATTN_STATICMAX=<shift>: det-forward softmax with a STATIC
+    # integer exponent shift instead of the running max (r5 sweep lever;
+    # needs the base-2 fold; see the kernel comment for the safety
+    # envelope). 0/unset keeps the online-max form.
+    shift_env = os.environ.get("PARQ_ATTN_STATICMAX", "0")
+    static_shift = (float(shift_env)
+                    if fold_log2e and shift_env not in ("0", "")
+                    else None)
     q = q * jnp.asarray((LOG2E if fold_log2e else 1.0) / (D ** 0.5),
                         q.dtype)
     kernel = functools.partial(
         _fwd_kernel, block_k=block_k, q_tile=QT,
         n_valid=n_valid, n_total=n_total, rate=rate, groups=groups,
         want_lse=want_lse, kv_nc=kv_nc, kv_interleaved=kv_fused,
-        fold_log2e=fold_log2e, interpret=interpret)
+        fold_log2e=fold_log2e, static_shift=static_shift,
+        interpret=interpret)
     if kv_fused:
         base = kernel  # ONE kv operand: reinsert the unused v_ref slot
 

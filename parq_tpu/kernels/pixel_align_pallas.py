@@ -40,7 +40,12 @@ def _pick_row_tile(H: int, W: int, C: int, Q: int, itemsize: int) -> int:
     rt_env = int(os.environ.get("PARQ_SAMPLER_RT", "0"))
     if rt_env > 0 and H % rt_env == 0:
         return rt_env
-    budget = 12 * 1024 * 1024
+    # 14MB: raised from 12MB in r5 — at release dims the larger budget
+    # admits rt=30 (est. 13.4MB), which WON its on-chip A/B 965.5 vs
+    # 957.0 eval fps (fewer grid steps, less per-step W-build overhead);
+    # rt=10 lost (927.7). The estimate stays ≥1.5MB under the 16MB
+    # hardware VMEM.
+    budget = 14 * 1024 * 1024
     for rt in (30, 20, 15, 12, 10, 8, 6, 5, 4, 3, 2, 1):
         if H % rt:
             continue

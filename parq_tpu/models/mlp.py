@@ -185,7 +185,10 @@ def fused_detection_heads(x: jnp.ndarray, center, rotation, semcls, size,
     #     the stack copy; the batched form has no such copy.]
     # The zero-block terms add exact +0.0 to every f32 accumulator, but
     # partial-sum grouping differs between forms → ≤1e-7-rel deltas.
-    if os.environ.get("PARQ_HEADS_L2", "blockdiag") == "batched":
+    # r5 on-chip A/B: batched WON train 279.59 vs 273.26 (the conv
+    # rewrite hurt fwd+bwd across all 8 folded iterations) and was
+    # neutral-positive on eval (958.6 vs 957.0) — default since r5.
+    if os.environ.get("PARQ_HEADS_L2", "batched") == "batched":
         w2b = jnp.stack([c_hid[1][0], r_hid[1][0]]).astype(dtype)  # (2,D,D)
         h = jnp.einsum("bnkd,kde->bnke", h, w2b)          # (B,N,2,D)
     else:

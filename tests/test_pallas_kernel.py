@@ -532,3 +532,20 @@ def test_flash_fold_log2e_matches_reference(rng, monkeypatch):
     # NOT bit-exact (LOG2E isn't dyadic — q rounds once pre-matmul); the
     # tolerance covers the extra rounding of the f32 q pre-scale
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_flash_static_shift_matches_reference(rng, monkeypatch):
+    """PARQ_ATTN_STATICMAX (det-forward softmax with a static exponent
+    shift instead of the running max) stays within f32 tolerance of the
+    exact oracle — incl. a partial last block (NEG_INF pad → exact 0)."""
+    monkeypatch.setenv("PARQ_FOLD_LOG2E", "1")
+    monkeypatch.setenv("PARQ_ATTN_STATICMAX", "80")
+    B, H, Q, D, N = 2, 2, 16, 128, 300
+    q = rng.randn(B, H, Q, D).astype(np.float32)
+    k = rng.randn(B, H, N, D).astype(np.float32) * 0.3
+    v = rng.randn(B, H, N, D).astype(np.float32)
+    got = flash_cross_attention(jnp.asarray(q), jnp.asarray(k),
+                                jnp.asarray(v), block_k=128, interpret=True)
+    want = cross_attention_reference(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)

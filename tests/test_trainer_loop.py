@@ -31,6 +31,9 @@ def build_loaders(cfg):
     return train, val
 
 
+@pytest.mark.slow  # 151s — the full fit→validate→resume integration pass;
+# the loop's semantics stay covered fast by the limited-validate and
+# val-subset tests below plus test_train.py's step/checkpoint tests
 def test_trainer_fit_validate_resume(smoke_cfg):
     from parq_tpu.train.loop import Trainer
 
