@@ -480,10 +480,14 @@ def _fwd_call(q, kt, v, seed, block_k, n_valid, rate, q_tile, interpret,
     fold_log2e = (rate == 0.0 and not want_lse
                   and os.environ.get("PARQ_FOLD_LOG2E", "1") == "1")
     # PARQ_ATTN_STATICMAX=<shift>: det-forward softmax with a STATIC
-    # integer exponent shift instead of the running max (r5 sweep lever;
-    # needs the base-2 fold; see the kernel comment for the safety
-    # envelope). 0/unset keeps the online-max form.
-    shift_env = os.environ.get("PARQ_ATTN_STATICMAX", "0")
+    # integer exponent shift instead of the running max. WON its r5 A/B
+    # 983.9 vs 965.5 eval fps (+18 ≈ 0.48 ms/step: the max-reduce pass
+    # over every score tile + the per-block accumulator rescale) —
+    # default ON at shift 80 since r5. Safety envelope (kernel comment):
+    # exact for base-2 logits in (-92, 206); release-scale logits are
+    # O(±50). Set 0 to restore the online-max form (e.g. for
+    # adversarially unbounded activations).
+    shift_env = os.environ.get("PARQ_ATTN_STATICMAX", "80")
     static_shift = (float(shift_env)
                     if fold_log2e and shift_env not in ("0", "")
                     else None)
