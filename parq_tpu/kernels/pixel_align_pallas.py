@@ -95,9 +95,49 @@ def _build_w_tile(uvs, row0, RT: int, W_img: int) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=1)                  # (Q, RT·W)
 
 
-def _sample_kernel(uvs_ref, mem_ref, out_ref, *, W_img: int, RT: int):
-    """uvs: (1, 1, Q, 4) [u, v, scale, _]; mem: (1, 1, RT, W, C);
-    out: (1, Q, C) accumulated over grid steps (t, row-tile)."""
+def _build_w_tile_t(uvs_t, row0, RT: int, W_img: int) -> jnp.ndarray:
+    """TRANSPOSED W tile (RT·W, Q) — same values as
+    `_build_w_tile(...).T`, built with the row blocks stacked on
+    SUBLANES. W_img=80 is 8-sublane-aligned, so the RT block stores need
+    no lane rotations; the original (Q, RT·W) form concatenates
+    80-LANE blocks (80 % 128 != 0), which mosaic must realize with a
+    misaligned-lane shift per block — measured ~1.1 ms/call of sampler
+    residual over the MXU+DMA roofline at release dims. `uvs_t` arrives
+    pre-transposed (4, Q) so the per-query vectors are lane rows (an
+    in-kernel (Q,1)→(1,Q) transpose would itself relayout)."""
+    u = uvs_t[0:1, :]                          # (1, Q)
+    v = uvs_t[1:2, :]
+    scale = uvs_t[2:3, :]
+
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    fx = u - x0
+    fy = v - y0
+
+    Q = u.shape[1]
+    zero = jnp.float32(0.0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (W_img, Q), 0).astype(
+        jnp.float32)
+    wx = (jnp.where(col == x0, 1.0 - fx, zero)
+          + jnp.where(col == x0 + 1.0, fx, zero))          # (W, Q)
+    wy0 = (1.0 - fy) * scale                               # (1, Q)
+    wy1 = fy * scale
+
+    parts = []
+    for r in range(RT):
+        rowf = jnp.float32(row0 + r) if isinstance(row0, int) \
+            else (row0 + r).astype(jnp.float32)
+        wy_r = (jnp.where(y0 == rowf, wy0, zero)
+                + jnp.where(y0 + 1.0 == rowf, wy1, zero))  # (1, Q)
+        parts.append(wx * wy_r)
+    return jnp.concatenate(parts, axis=0)                  # (RT·W, Q)
+
+
+def _sample_kernel(uvs_ref, mem_ref, out_ref, *, W_img: int, RT: int,
+                   wt: bool = False):
+    """uvs: (1, 1, Q, 4) [u, v, scale, _] — or (1, 1, 4, Q) when `wt`;
+    mem: (1, 1, RT, W, C); out: (1, Q, C) accumulated over grid steps
+    (t, row-tile)."""
     t = pl.program_id(1)
     r = pl.program_id(2)
 
@@ -105,17 +145,23 @@ def _sample_kernel(uvs_ref, mem_ref, out_ref, *, W_img: int, RT: int):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    w_tile = _build_w_tile(uvs_ref[0, 0], r * RT, RT, W_img)
-
     # dtype-matched MXU: bf16 memory → fast bf16 matmul (f32 accumulate);
     # f32 memory → full-precision passes to preserve checkpoint parity.
     # memory arrives pre-flattened (1, 1, P, C): no in-kernel relayout.
     mem = mem_ref[0, 0]                                     # (P, C)
     precision = (jax.lax.Precision.HIGHEST
                  if mem.dtype == jnp.float32 else None)
-    contrib = jnp.dot(w_tile.astype(mem.dtype), mem,
-                      precision=precision,
-                      preferred_element_type=jnp.float32)   # (Q, C)
+    if wt:
+        w_tile_t = _build_w_tile_t(uvs_ref[0, 0], r * RT, RT, W_img)
+        contrib = jax.lax.dot_general(
+            w_tile_t.astype(mem.dtype), mem, (((0,), (0,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32)             # (Q, C)
+    else:
+        w_tile = _build_w_tile(uvs_ref[0, 0], r * RT, RT, W_img)
+        contrib = jnp.dot(w_tile.astype(mem.dtype), mem,
+                          precision=precision,
+                          preferred_element_type=jnp.float32)  # (Q, C)
     out_ref[0] += contrib.astype(out_ref.dtype)
 
 
@@ -126,7 +172,13 @@ def _pallas_sample(memory_hw: jnp.ndarray, uvs: jnp.ndarray) -> jnp.ndarray:
     RT = _pick_row_tile(H, W, C, Q, memory_hw.dtype.itemsize)
     grid = (B, T, H // RT)
 
-    kernel = functools.partial(_sample_kernel, W_img=W, RT=RT)
+    # transposed (sublane-stacked) W build — see _build_w_tile_t; needs
+    # W % 8 == 0 for the aligned stores it exists to provide
+    import os
+    wt = os.environ.get("PARQ_SAMPLER_WT", "0") == "1" and W % 8 == 0
+    if wt:
+        uvs = uvs.swapaxes(2, 3)  # (B, T, 4, Q) — tiny, outside the kernel
+    kernel = functools.partial(_sample_kernel, W_img=W, RT=RT, wt=wt)
     flops = 2 * B * T * H * W * Q * C
     # flatten pixel positions OUTSIDE the kernel (free in HBM; an in-kernel
     # (RT, W, C) → (P, C) collapse forces a costly bf16 relayout)
@@ -134,12 +186,15 @@ def _pallas_sample(memory_hw: jnp.ndarray, uvs: jnp.ndarray) -> jnp.ndarray:
     PT = RT * W
     # interpret mode off-TPU so tests/CPU fallback work unchanged
     interpret = jax.default_backend() != "tpu"
+    uvs_spec = (pl.BlockSpec((1, 1, 4, Q), lambda b, t, r: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM) if wt else
+                pl.BlockSpec((1, 1, Q, 4), lambda b, t, r: (b, t, 0, 0),
+                             memory_space=pltpu.VMEM))
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, Q, 4), lambda b, t, r: (b, t, 0, 0),
-                         memory_space=pltpu.VMEM),
+            uvs_spec,
             pl.BlockSpec((1, 1, PT, C), lambda b, t, r: (b, t, r, 0),
                          memory_space=pltpu.VMEM),
         ],

@@ -549,3 +549,19 @@ def test_flash_static_shift_matches_reference(rng, monkeypatch):
     want = cross_attention_reference(jnp.asarray(q), jnp.asarray(k),
                                      jnp.asarray(v))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_sampler_transposed_w_matches(rng, monkeypatch):
+    """PARQ_SAMPLER_WT=1 (sublane-stacked transposed W build + TN
+    contraction) == the lane-concat form, both against the XLA reference
+    path (same compares/multiplies, transposed layout only)."""
+    feats, q, Tcl, cam, fs = setup(rng, B=2, T=3, H=6, W=8, C=32, Q=8)
+    from parq_tpu.kernels.pixel_align_pallas import (
+        pixel_aligned_features_pallas)
+    base = pixel_aligned_features_pallas(feats, q, Tcl, cam, fs, force=True)
+    monkeypatch.setenv("PARQ_SAMPLER_WT", "1")
+    got = pixel_aligned_features_pallas(feats, q, Tcl, cam, fs, force=True)
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(base)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
