@@ -173,9 +173,12 @@ def _pallas_sample(memory_hw: jnp.ndarray, uvs: jnp.ndarray) -> jnp.ndarray:
     grid = (B, T, H // RT)
 
     # transposed (sublane-stacked) W build — see _build_w_tile_t; needs
-    # W % 8 == 0 for the aligned stores it exists to provide
+    # W % 8 == 0 for the aligned stores it exists to provide. Default ON
+    # since its r5 A/B: 1021.5 vs 984.8 eval fps (+37 ≈ 0.91 ms/step —
+    # the misaligned lane concats were the sampler's entire residual over
+    # the MXU+DMA roofline). PARQ_SAMPLER_WT=0 restores the lane form.
     import os
-    wt = os.environ.get("PARQ_SAMPLER_WT", "0") == "1" and W % 8 == 0
+    wt = os.environ.get("PARQ_SAMPLER_WT", "1") == "1" and W % 8 == 0
     if wt:
         uvs = uvs.swapaxes(2, 3)  # (B, T, 4, Q) — tiny, outside the kernel
     kernel = functools.partial(_sample_kernel, W_img=W, RT=RT, wt=wt)
@@ -210,24 +213,36 @@ def _pallas_sample(memory_hw: jnp.ndarray, uvs: jnp.ndarray) -> jnp.ndarray:
     )(uvs, memory_flat)
 
 
-def _sample_bwd_mem_kernel(uvs_ref, g_ref, out_ref, *, W_img: int, RT: int):
+def _sample_bwd_mem_kernel(uvs_ref, g_ref, out_ref, *, W_img: int, RT: int,
+                           wt: bool = False):
     """d(memory) for one (b, t, row-tile, q-tile): the transpose of the
     sampling matmul — dmem_tile (+)= W_tileᵀ @ g. Replaces XLA's
     gather-transpose scatter-add, which serializes duplicate indices
     (measured 105 GiB/s, 2.1ms/decoder-iteration at the release shape).
     The q-tile axis is innermost: the output block is revisited
     consecutively and the contributions of all q-tiles (== all folded
-    decoder iterations on the batched-grad path) accumulate in VMEM."""
+    decoder iterations on the batched-grad path) accumulate in VMEM.
+    `wt`: sublane-stacked transposed W build (see _build_w_tile_t) —
+    dmem = Wt @ g becomes a plain NN matmul with aligned W stores."""
     r = pl.program_id(2)
     qb = pl.program_id(3)
-    w_tile = _build_w_tile(uvs_ref[0, 0], r * RT, RT, W_img)   # (QT, P)
     g = g_ref[0]                                               # (QT, C)
     precision = (jax.lax.Precision.HIGHEST
                  if g.dtype == jnp.float32 else None)
-    contrib = jax.lax.dot_general(
-        w_tile.astype(g.dtype), g, (((0,), (0,)), ((), ())),
-        precision=precision,
-        preferred_element_type=jnp.float32).astype(out_ref.dtype)
+    if wt:
+        w_tile_t = _build_w_tile_t(uvs_ref[0, 0], r * RT, RT,
+                                   W_img)                      # (P, QT)
+        contrib = jax.lax.dot_general(
+            w_tile_t.astype(g.dtype), g, (((1,), (0,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32).astype(out_ref.dtype)
+    else:
+        w_tile = _build_w_tile(uvs_ref[0, 0], r * RT, RT,
+                               W_img)                          # (QT, P)
+        contrib = jax.lax.dot_general(
+            w_tile.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+            precision=precision,
+            preferred_element_type=jnp.float32).astype(out_ref.dtype)
     if pl.num_programs(3) == 1:
         out_ref[0, 0] = contrib
     else:
@@ -270,13 +285,22 @@ def _pallas_sample_bwd_mem(uvs: jnp.ndarray, g: jnp.ndarray,
     RT, QT = _pick_bwd_tiles(H, W, C, Q, jnp.dtype(mem_dtype).itemsize)
     PT = RT * W
     interpret = jax.default_backend() != "tpu"
-    kernel = functools.partial(_sample_bwd_mem_kernel, W_img=W, RT=RT)
+    # same transposed-W default as the forward (see _pallas_sample)
+    import os
+    wt = os.environ.get("PARQ_SAMPLER_WT", "1") == "1" and W % 8 == 0
+    if wt:
+        uvs = uvs.swapaxes(2, 3)  # (B, T, 4, Q)
+    kernel = functools.partial(_sample_bwd_mem_kernel, W_img=W, RT=RT,
+                               wt=wt)
+    uvs_spec = (pl.BlockSpec((1, 1, 4, QT), lambda b, t, r, qb: (b, t, 0, qb),
+                             memory_space=pltpu.VMEM) if wt else
+                pl.BlockSpec((1, 1, QT, 4), lambda b, t, r, qb: (b, t, qb, 0),
+                             memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         kernel,
         grid=(B, T, H // RT, Q // QT),
         in_specs=[
-            pl.BlockSpec((1, 1, QT, 4), lambda b, t, r, qb: (b, t, qb, 0),
-                         memory_space=pltpu.VMEM),
+            uvs_spec,
             pl.BlockSpec((1, QT, C), lambda b, t, r, qb: (b, qb, 0),
                          memory_space=pltpu.VMEM),
         ],
