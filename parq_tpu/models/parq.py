@@ -6,11 +6,9 @@ box-prediction dict.
 """
 from __future__ import annotations
 
-import os
 from typing import Any, Dict, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from ..geometry import Camera, Pose
